@@ -1,0 +1,179 @@
+"""Performance analyzer operators.
+
+Spark-first re-expression of ``/root/reference/src/analyzers/performance.py``
+and the canned SQL in ``/root/reference/src/storage/database.py:298-363``.
+All percentiles/medians are EXACT (``F.percentile`` / ``F.median``) to match
+the reference's pandas ``quantile``/``np.percentile`` (linear interpolation);
+at 10^12-row scale swap for ``approx_percentile`` with documented tolerance.
+
+All inputs are the parsed-transcripts frame (see ``functions.parse``); every
+operator filters to access rows itself so callers can hand over the full
+parsed frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    METRIC_TIME_WINDOW,
+    MIN_ENDPOINT_SUPPORT,
+    SLOW_ENDPOINT_AVG,
+)
+
+
+def access_rows(parsed: DataFrame) -> DataFrame:
+    return parsed.where(F.col("log_type") == "access")
+
+
+def overall_response_stats(parsed: DataFrame) -> DataFrame:
+    """A1: global response-time stats (performance.py:47-53)."""
+    return access_rows(parsed).agg(
+        F.avg("response_time").alias("mean"),
+        F.median("response_time").alias("median"),
+        F.percentile("response_time", 0.95).alias("p95"),
+        F.percentile("response_time", 0.99).alias("p99"),
+        F.max("response_time").alias("max"),
+    )
+
+
+def endpoint_stats(parsed: DataFrame) -> DataFrame:
+    """A2: per-endpoint count/mean/median/max/p95/error_rate
+    (performance.py:60-69). One shuffle; partial aggregation map-side."""
+    return (
+        access_rows(parsed)
+        .groupBy("endpoint")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.avg("response_time").alias("mean_time"),
+            F.median("response_time").alias("median_time"),
+            F.max("response_time").alias("max_time"),
+            F.percentile("response_time", 0.95).alias("p95_time"),
+            F.avg((F.col("status") >= 400).cast("double")).alias("error_rate"),
+        )
+    )
+
+
+def slow_endpoints(parsed: DataFrame) -> DataFrame:
+    """A3: HAVING mean_time > slow_endpoint_avg (performance.py:72-74)."""
+    return endpoint_stats(parsed).where(F.col("mean_time") > F.lit(SLOW_ENDPOINT_AVG))
+
+
+def performance_metrics(parsed: DataFrame) -> DataFrame:
+    """A4+A5: long-format metric rows, 3 per endpoint with >=5 requests
+    (performance.py:77-109). Unpivot via stack — no extra shuffle."""
+    stats = endpoint_stats(parsed).where(
+        F.col("n_requests") >= F.lit(MIN_ENDPOINT_SUPPORT)
+    )
+    return stats.select(
+        "endpoint",
+        F.expr(
+            "stack(3, "
+            "'mean_response_time', mean_time, "
+            "'p95_response_time', p95_time, "
+            "'error_rate', error_rate) AS (metric_name, metric_value)"
+        ),
+        F.lit(METRIC_TIME_WINDOW).alias("time_window"),
+    )
+
+
+def status_counts(parsed: DataFrame) -> DataFrame:
+    """A6: frequency count of status codes (performance.py:143)."""
+    return access_rows(parsed).groupBy("status").agg(F.count("*").alias("n"))
+
+
+def overall_error_rate(parsed: DataFrame) -> DataFrame:
+    """A7: scalar error rate (performance.py:146-148)."""
+    return access_rows(parsed).agg(
+        F.avg((F.col("status") >= 400).cast("double")).alias("error_rate"),
+        F.count("*").alias("total_requests"),
+        F.sum((F.col("status") >= 400).cast("long")).alias("error_count"),
+    )
+
+
+def error_endpoints(parsed: DataFrame) -> DataFrame:
+    """A8: per-endpoint error/total/rate (performance.py:160-173) in a
+    single pass (the reference does two groupbys)."""
+    return (
+        access_rows(parsed)
+        .groupBy("endpoint")
+        .agg(
+            F.sum((F.col("status") >= 400).cast("long")).alias("error_count"),
+            F.count("*").alias("total_count"),
+        )
+        .withColumn(
+            "endpoint_error_rate",
+            F.col("error_count").cast("double") / F.col("total_count"),
+        )
+        .where(F.col("error_count") > 0)
+    )
+
+
+def traffic_by_interval(parsed: DataFrame, interval: str = "1 hour") -> DataFrame:
+    """A9: tumbling-window request counts (performance.py:199-208)."""
+    return (
+        access_rows(parsed)
+        .where(F.col("ts_parsed").isNotNull())
+        .groupBy(F.window("ts_parsed", interval).alias("w"))
+        .agg(F.count("*").alias("n_requests"))
+        .select(F.col("w.start").alias("window_start"), "n_requests")
+    )
+
+
+def peak_traffic_intervals(parsed: DataFrame, interval: str = "1 hour") -> DataFrame:
+    """A10: intervals with traffic above their own 0.95 quantile
+    (performance.py:211-212). The quantile is one scalar — broadcast it."""
+    traffic = traffic_by_interval(parsed, interval)
+    threshold = traffic.agg(
+        F.percentile("n_requests", 0.95).alias("threshold")
+    )
+    return (
+        traffic.crossJoin(F.broadcast(threshold))
+        .where(F.col("n_requests") > F.col("threshold"))
+        .select("window_start", "n_requests", "threshold")
+    )
+
+
+def error_rate_by_interval(
+    parsed: DataFrame, interval: str = "5 minutes"
+) -> DataFrame:
+    """A16: 5-minute error-rate series (detector.py:242-243)."""
+    return (
+        access_rows(parsed)
+        .where(F.col("ts_parsed").isNotNull())
+        .groupBy(F.window("ts_parsed", interval).alias("w"))
+        .agg(F.avg((F.col("status") >= 400).cast("double")).alias("error_rate"))
+        .select(F.col("w.start").alias("window_start"), "error_rate")
+    )
+
+
+def response_stats_by_endpoint_timeframe(
+    parsed: DataFrame, start: str, end: str
+) -> DataFrame:
+    """S11: the canned SQL report (database.py:322-363): per-endpoint
+    COUNT/AVG/MIN/MAX + conditional error SUM within a time range,
+    ORDER BY avg DESC."""
+    return (
+        access_rows(parsed)
+        .where(F.col("ts_parsed").between(F.lit(start), F.lit(end)))
+        .groupBy("endpoint")
+        .agg(
+            F.count("*").alias("request_count"),
+            F.avg("response_time").alias("avg_response_time"),
+            F.min("response_time").alias("min_response_time"),
+            F.max("response_time").alias("max_response_time"),
+            F.sum((F.col("status") >= 400).cast("long")).alias("error_count"),
+        )
+        .orderBy(F.desc("avg_response_time"), "endpoint")
+    )
+
+
+def logs_by_timeframe(parsed: DataFrame, start: str, end: str) -> DataFrame:
+    """S10: timeframe select ORDER BY timestamp (database.py:298-320);
+    secondary sort on (conv_id, turn_idx) pins a total order."""
+    return (
+        access_rows(parsed)
+        .where(F.col("ts_parsed").between(F.lit(start), F.lit(end)))
+        .orderBy("ts_parsed", "conv_id", "turn_idx")
+    )

@@ -1,0 +1,113 @@
+"""Conversation-window aggregates (the graft's north-star operators).
+
+The reference has no ranking/lead-lag (SURVEY §2.5); the transcript payload
+adds them: stable ``(conv_id, turn_idx)`` ordering, turns-per-conversation,
+tool-invocation counts, and per-conversation alert rates, all via Spark SQL
+window functions partitioned by ``conv_id``.
+
+Scale note (SURVEY §7.3.7): per-conv windows shuffle on ``conv_id``; hot
+conversations are bounded by max conversation length, and order-insensitive
+aggregates get the salted two-phase variant in ``salted_turn_counts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def turns_per_conversation(transcripts: DataFrame) -> DataFrame:
+    """Per-conv turn counts + role mix; one shuffle on conv_id."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def tool_invocation_counts(transcripts: DataFrame) -> DataFrame:
+    """Tool usage histogram across all conversations."""
+    return (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count("*").alias("n_invocations"),
+            F.countDistinct("conv_id").alias("n_conversations"),
+        )
+    )
+
+
+def turn_ordering_check(transcripts: DataFrame) -> DataFrame:
+    """Stable-order invariant: within each conv, row_number ordered by
+    turn_idx equals turn_idx+1 (dense, unique). Returns violating rows
+    (empty = invariant holds)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    checked = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        (F.row_number().over(w) - 1).alias("expected_idx"),
+    )
+    return checked.where(F.col("turn_idx") != F.col("expected_idx"))
+
+
+def turn_gaps(transcripts: DataFrame) -> DataFrame:
+    """lead/lag over (conv_id, turn_idx): inter-turn latency per turn."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("ts").over(w).alias("prev_ts"),
+        "ts",
+    ).withColumn(
+        "gap_seconds",
+        F.when(
+            F.col("prev_ts").isNotNull(),
+            F.col("ts").cast("double") - F.col("prev_ts").cast("double"),
+        ),
+    )
+
+
+def conversation_alert_rates(
+    transcripts: DataFrame, events: DataFrame
+) -> DataFrame:
+    """Per-conversation alert rate: security events per turn. Events carry
+    (conv_id, turn_idx) lineage; aggregate both sides THEN join so the join
+    input is one row per conv (shuffle-light)."""
+    turns = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    alerts = (
+        events.where(F.col("conv_id").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_alerts"),
+            F.sum((F.col("severity") == "high").cast("long")).alias("n_high"),
+        )
+    )
+    return (
+        turns.join(alerts, "conv_id", "left")
+        .fillna(0, subset=["n_alerts", "n_high"])
+        .withColumn(
+            "alert_rate", F.col("n_alerts").cast("double") / F.col("n_turns")
+        )
+    )
+
+
+def salted_turn_counts(transcripts: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Skew-defused two-phase count (SURVEY §4.1): partial aggregate per
+    (conv_id, salt) then merge per conv_id. Correct for order-insensitive
+    aggregates; hot conversations spread over ``salt_buckets`` reducers in
+    phase 1. Equivalent to turns_per_conversation's counts."""
+    salted = transcripts.withColumn(
+        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("conv_id", "_salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("pt"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("pc").alias("n_turns"), F.sum("pt").alias("n_tool_turns")
+    )
