@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (grok-parse the transcript payload
+derived from events, then the per-endpoint performance report — the
+reference's ``database.py:322-363`` / ``performance.py:60-74`` semantics).
+
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with a DuckDB oracle over the shared parquet views.
 """
 
 from __future__ import annotations
@@ -13,26 +14,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from log_analysis_system_spark.queries_log import ORACLES as _LOG_ORACLES
+from log_analysis_system_spark.queries_log import QUERIES as _LOG_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _LOG_QUERIES["endpoint_stats"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(_LOG_QUERIES)
+    try:
+        from log_analysis_system_spark.queries_data import QUERIES as _DATA_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(_DATA_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_LOG_ORACLES)
+    try:
+        from log_analysis_system_spark.queries_data import ORACLES as _DATA_ORACLES
+
+        out.update(_DATA_ORACLES)
+    except ImportError:
+        pass
+    return out

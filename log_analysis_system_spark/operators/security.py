@@ -33,7 +33,8 @@ from ..config import (
 )
 from .performance import access_rows
 
-_ORDER_KEY = F.struct(F.col("conv_id"), F.col("turn_idx"))
+def _ORDER_KEY() -> Column:
+    return F.struct(F.col("conv_id"), F.col("turn_idx"))
 
 
 def _first_match(col: Column, patterns: list[str]) -> Column:
@@ -103,10 +104,10 @@ def suspicious_ip_events(parsed: DataFrame, dim: DataFrame | None = None) -> Dat
         dim = suspicious_ip_dim(parsed.sparkSession)
     rows = access_rows(parsed).where(F.col("ip_address").isNotNull())
     grouped = rows.groupBy("ip_address").agg(
-        F.min_by("endpoint", _ORDER_KEY).alias("endpoint"),
-        F.min_by("ts_parsed", _ORDER_KEY).alias("event_ts"),
-        F.min_by("conv_id", _ORDER_KEY).alias("conv_id"),
-        F.min_by("turn_idx", _ORDER_KEY).alias("turn_idx"),
+        F.min_by("endpoint", _ORDER_KEY()).alias("endpoint"),
+        F.min_by("ts_parsed", _ORDER_KEY()).alias("event_ts"),
+        F.min_by("conv_id", _ORDER_KEY()).alias("conv_id"),
+        F.min_by("turn_idx", _ORDER_KEY()).alias("turn_idx"),
         F.count("*").alias("n_requests"),
     )
     hits = grouped.join(F.broadcast(dim), "ip_address", "inner")
@@ -166,10 +167,10 @@ def unusual_method_events(parsed: DataFrame) -> DataFrame:
     the dangerous-set membership (security.py:318)."""
     rows = access_rows(parsed).where(F.col("method").isin(DANGEROUS_METHODS))
     grouped = rows.groupBy("method", "ip_address").agg(
-        F.min_by("endpoint", _ORDER_KEY).alias("endpoint"),
-        F.min_by("ts_parsed", _ORDER_KEY).alias("event_ts"),
-        F.min_by("conv_id", _ORDER_KEY).alias("conv_id"),
-        F.min_by("turn_idx", _ORDER_KEY).alias("turn_idx"),
+        F.min_by("endpoint", _ORDER_KEY()).alias("endpoint"),
+        F.min_by("ts_parsed", _ORDER_KEY()).alias("event_ts"),
+        F.min_by("conv_id", _ORDER_KEY()).alias("conv_id"),
+        F.min_by("turn_idx", _ORDER_KEY()).alias("turn_idx"),
         F.count("*").alias("n_requests"),
     )
     return grouped.select(

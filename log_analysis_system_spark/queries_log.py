@@ -1,0 +1,659 @@
+"""Driver-facing log-pipeline queries with paired DuckDB oracle SQL.
+
+Each entry is ``name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql)``.
+The transcripts table is derived deterministically from the shared ``events``
+parquet inside both sides (see ``sources.events_transcripts``), so every
+grok-parse query has a full ANSI-SQL oracle. Aggregate doubles are rounded to
+6 decimals on BOTH sides to absorb summation-order ulps.
+
+Oracle style note: the oracle derives parsed fields from the *event formulas*
+(``duckdb_parsed_cte``), never from regex — so the Spark render+grok+aggregate
+round trip is checked against an independent computation path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import (
+    ATTACK_PATTERNS,
+    BRUTE_FORCE_STATUSES,
+    BRUTE_FORCE_THRESHOLD,
+    LOGIN_KEYWORDS,
+    SCAN_PATTERNS,
+    STATUS_DESCRIPTIONS,
+    SUSPICIOUS_IPS,
+)
+from .functions.parse import PARSED_FIELDS, parse_transcripts
+from .operators import anomaly as an
+from .operators import performance as perf
+from .operators import security as sec
+from .operators import windows as win
+from .sources.dims import enrich, role_dim, ROLE_DIM
+from .sources.events_transcripts import (
+    ENDPOINTS,
+    oracle_prefix,
+    render_transcripts,
+)
+
+P = oracle_prefix()
+_ACCESS = "log_type = 'access'"
+
+
+def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return render_transcripts(events)
+
+
+def load_parsed(spark: SparkSession, sf_dir: str, engine: str = "sql") -> DataFrame:
+    return parse_transcripts(load_transcripts(spark, sf_dir), engine=engine)
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _epoch(df: DataFrame, col: str = "window_start") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("long"))
+
+
+# ---------------------------------------------------------------- security
+# Endpoint classification precomputed with Python re (the reference's exact
+# engine, security.py:45 re.IGNORECASE + re.search) and embedded as CASE
+# chains in the oracle — independent of Spark's rlike.
+def _first_match_py(endpoint: str, patterns: list[str]) -> str | None:
+    for p in patterns:
+        if re.search(p, endpoint, re.IGNORECASE):
+            return p
+    return None
+
+
+def _case_sql(mapping: dict[str, str | None]) -> str:
+    whens = " ".join(
+        "WHEN endpoint = '{}' THEN '{}'".format(
+            e.replace("'", "''"), p.replace("'", "''")
+        )
+        for e, p in mapping.items()
+        if p is not None
+    )
+    return f"(CASE {whens} END)" if whens else "(CAST(NULL AS VARCHAR))"
+
+
+ATTACK_MATCH = {e: _first_match_py(e, ATTACK_PATTERNS) for e in ENDPOINTS}
+SCAN_MATCH = {e: _first_match_py(e, SCAN_PATTERNS) for e in ENDPOINTS}
+LOGIN_MATCH = {
+    e: bool(re.search("|".join(LOGIN_KEYWORDS), e, re.IGNORECASE)) for e in ENDPOINTS
+}
+
+_ATTACK_CASE = _case_sql(ATTACK_MATCH)
+_SCAN_CASE = _case_sql(SCAN_MATCH)
+_LOGIN_SET = ", ".join(
+    "'" + e.replace("'", "''") + "'" for e, hit in LOGIN_MATCH.items() if hit
+)
+_SUSP_SET = ", ".join(f"'{ip}'" for ip in SUSPICIOUS_IPS)
+_BF_STATUSES = ", ".join(str(s) for s in BRUTE_FORCE_STATUSES)
+
+_SEC_EVENTS_CTE = f"""
+sec_events AS (
+  SELECT ts_parsed AS event_ts, 'attack_pattern' AS event_type,
+         'high' AS severity, ip_address, endpoint,
+         'Potential attack pattern detected: ' || {_ATTACK_CASE} AS description,
+         conv_id, turn_idx
+  FROM parsed WHERE {_ACCESS} AND {_ATTACK_CASE} IS NOT NULL
+  UNION ALL
+  SELECT ts_parsed, 'scan_attempt', 'medium', ip_address, endpoint,
+         'Potential scanning attempt detected: ' || {_SCAN_CASE},
+         conv_id, turn_idx
+  FROM parsed WHERE {_ACCESS} AND {_SCAN_CASE} IS NOT NULL
+  UNION ALL
+  SELECT event_ts, 'suspicious_ip', 'high', ip_address, endpoint,
+         'Activity from known suspicious IP: ' || ip_address || ' (' ||
+           CAST(n_requests AS VARCHAR) || ' requests)',
+         conv_id, turn_idx
+  FROM (
+    SELECT ip_address, endpoint, ts_parsed AS event_ts, conv_id, turn_idx,
+           row_number() OVER
+             (PARTITION BY ip_address ORDER BY conv_id, turn_idx) AS rn,
+           count(*) OVER (PARTITION BY ip_address) AS n_requests
+    FROM parsed WHERE {_ACCESS} AND ip_address IN ({_SUSP_SET})
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT CAST(NULL AS TIMESTAMP), 'brute_force_attempt', 'high', ip_address,
+         'multiple',
+         'Potential brute force attempt: ' || CAST(n_failed AS VARCHAR) ||
+           ' failed login attempts from ' || ip_address,
+         CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+  FROM (
+    SELECT ip_address, count(*) AS n_failed
+    FROM parsed
+    WHERE {_ACCESS} AND endpoint IN ({_LOGIN_SET})
+      AND status IN ({_BF_STATUSES})
+    GROUP BY ip_address
+  ) WHERE n_failed >= {BRUTE_FORCE_THRESHOLD}
+  UNION ALL
+  SELECT event_ts, 'unusual_method', 'medium', ip_address, endpoint,
+         'Unusual HTTP method ' || method || ' used by ' || ip_address ||
+           ' (' || CAST(n_requests AS VARCHAR) || ' requests)',
+         conv_id, turn_idx
+  FROM (
+    SELECT method, ip_address, endpoint, ts_parsed AS event_ts,
+           conv_id, turn_idx,
+           row_number() OVER
+             (PARTITION BY method, ip_address ORDER BY conv_id, turn_idx) AS rn,
+           count(*) OVER (PARTITION BY method, ip_address) AS n_requests
+    FROM parsed
+    WHERE {_ACCESS}
+      AND method IN ('PUT', 'DELETE', 'TRACE', 'CONNECT', 'OPTIONS')
+  ) WHERE rn = 1
+)
+"""
+
+PS = P.rstrip() + ", " + _SEC_EVENTS_CTE + "\n"
+
+
+# ------------------------------------------------------------------ queries
+def q_transcripts_roundtrip(spark, sf_dir):
+    """Per-turn text byte-equality under (conv_id, turn_idx) order."""
+    return load_transcripts(spark, sf_dir)
+
+
+def q_parsed_turns(spark, sf_dir):
+    """Per-row grok round trip — the strongest per-row parity gate."""
+    return load_parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "text", *PARSED_FIELDS
+    )
+
+
+def q_parsed_turns_pandas(spark, sf_dir):
+    """Same rows via the Arrow pandas-UDF engine (input_hint mandate)."""
+    return load_parsed(spark, sf_dir, engine="pandas").select(
+        "conv_id", "turn_idx", "role", "tool", "text", *PARSED_FIELDS
+    )
+
+
+def q_rejects(spark, sf_dir):
+    """P7: unparseable rows are counted, not dropped silently."""
+    parsed = load_parsed(spark, sf_dir)
+    return parsed.where(F.col("log_format").isNull()).agg(
+        F.count("*").alias("n_rejects")
+    )
+
+
+def q_status_counts(spark, sf_dir):
+    return perf.status_counts(load_parsed(spark, sf_dir))
+
+
+def q_endpoint_stats(spark, sf_dir):
+    df = perf.endpoint_stats(load_parsed(spark, sf_dir))
+    return _r6(df, "mean_time", "median_time", "p95_time", "error_rate")
+
+
+def q_overall_response_stats(spark, sf_dir):
+    df = perf.overall_response_stats(load_parsed(spark, sf_dir))
+    return _r6(df, "mean", "median", "p95", "p99")
+
+
+def q_slow_endpoints(spark, sf_dir):
+    df = perf.slow_endpoints(load_parsed(spark, sf_dir))
+    return _r6(df, "mean_time", "median_time", "p95_time", "error_rate")
+
+
+def q_performance_metrics(spark, sf_dir):
+    df = perf.performance_metrics(load_parsed(spark, sf_dir))
+    return _r6(df, "metric_value")
+
+
+def q_overall_error_rate(spark, sf_dir):
+    return _r6(perf.overall_error_rate(load_parsed(spark, sf_dir)), "error_rate")
+
+
+def q_error_endpoints(spark, sf_dir):
+    return _r6(perf.error_endpoints(load_parsed(spark, sf_dir)), "endpoint_error_rate")
+
+
+def q_traffic_hourly(spark, sf_dir):
+    return _epoch(perf.traffic_by_interval(load_parsed(spark, sf_dir), "1 hour"))
+
+
+def q_peak_traffic(spark, sf_dir):
+    df = perf.peak_traffic_intervals(load_parsed(spark, sf_dir), "1 hour")
+    return _epoch(_r6(df, "threshold"))
+
+
+def q_error_rate_5min(spark, sf_dir):
+    df = perf.error_rate_by_interval(load_parsed(spark, sf_dir), "5 minutes")
+    return _epoch(_r6(df, "error_rate"))
+
+
+def q_timeframe_logs(spark, sf_dir):
+    df = perf.logs_by_timeframe(
+        load_parsed(spark, sf_dir), "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+    )
+    return df.select("conv_id", "turn_idx", "ts_parsed", "ip_address", "endpoint", "status")
+
+
+def q_endpoint_stats_timeframe(spark, sf_dir):
+    df = perf.response_stats_by_endpoint_timeframe(
+        load_parsed(spark, sf_dir), "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+    )
+    return _r6(df, "avg_response_time")
+
+
+def q_security_events(spark, sf_dir):
+    return sec.all_security_events(load_parsed(spark, sf_dir))
+
+
+def q_brute_force(spark, sf_dir):
+    return sec.brute_force_events(load_parsed(spark, sf_dir)).select(
+        "ip_address", "description"
+    )
+
+
+def q_suspicious_ips(spark, sf_dir):
+    return sec.suspicious_ip_events(load_parsed(spark, sf_dir))
+
+
+def q_unusual_methods(spark, sf_dir):
+    return sec.unusual_method_events(load_parsed(spark, sf_dir))
+
+
+def q_ip_threat_scores(spark, sf_dir):
+    events = sec.all_security_events(load_parsed(spark, sf_dir))
+    return sec.ip_threat_scores(events)
+
+
+def q_zscore_anomalies(spark, sf_dir):
+    df = an.response_time_zscore_anomalies(load_parsed(spark, sf_dir))
+    return _r6(df, "expected_value", "z_score")
+
+
+def q_per_conv_zscore(spark, sf_dir):
+    df = an.per_conv_zscore_anomalies(load_parsed(spark, sf_dir))
+    return _r6(df, "expected_value", "z_score")
+
+
+def q_rolling_traffic_anomalies(spark, sf_dir):
+    df = an.traffic_rolling_anomalies(load_parsed(spark, sf_dir), "1 hour")
+    return _epoch(_r6(df, "upper_bound", "lower_bound"))
+
+
+def q_iqr_anomalies(spark, sf_dir):
+    df = an.error_rate_iqr_anomalies(load_parsed(spark, sf_dir), "5 minutes")
+    return _r6(df, "expected_value", "actual_value", "z_score").withColumn(
+        "event_ts", F.col("event_ts").cast("long")
+    )
+
+
+def q_turns_per_conversation(spark, sf_dir):
+    return win.turns_per_conversation(load_transcripts(spark, sf_dir))
+
+
+def q_tool_invocations(spark, sf_dir):
+    return win.tool_invocation_counts(load_transcripts(spark, sf_dir))
+
+
+def q_turn_gaps(spark, sf_dir):
+    tr = load_transcripts(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return tr.select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_micros"),
+    )
+
+
+def q_turn_ordering_check(spark, sf_dir):
+    df = win.turn_ordering_check(load_transcripts(spark, sf_dir))
+    return df.agg(F.count("*").alias("n_violations"))
+
+
+def q_conversation_alert_rates(spark, sf_dir):
+    parsed = load_parsed(spark, sf_dir)
+    events = sec.all_security_events(parsed)
+    return _r6(win.conversation_alert_rates(parsed, events), "alert_rate")
+
+
+def q_salted_turn_counts(spark, sf_dir):
+    return win.salted_turn_counts(load_transcripts(spark, sf_dir))
+
+
+def q_enriched_status_counts(spark, sf_dir):
+    enriched = enrich(load_parsed(spark, sf_dir))
+    return (
+        enriched.where(F.col("log_type") == "access")
+        .groupBy("status", "status_description")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_enriched_role_counts(spark, sf_dir):
+    tr = load_transcripts(spark, sf_dir)
+    dim = role_dim(spark)
+    return (
+        tr.join(F.broadcast(dim), "role", "left")
+        .groupBy("role", "role_class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------- oracle SQL
+_STATUS_DESC_CASE = "(CASE {} ELSE 'Unknown' END)".format(
+    " ".join(f"WHEN status = {k} THEN '{v}'" for k, v in STATUS_DESCRIPTIONS.items())
+)
+_ROLE_CLASS_CASE = "(CASE {} END)".format(
+    " ".join(f"WHEN role = '{r}' THEN '{c}'" for r, c, _ in ROLE_DIM)
+)
+
+_ENDPOINT_STATS_BODY = f"""
+SELECT endpoint, count(*) AS n_requests,
+       round(avg(response_time), 6) AS mean_time,
+       round(median(response_time), 6) AS median_time,
+       max(response_time) AS max_time,
+       round(quantile_cont(response_time, 0.95), 6) AS p95_time,
+       round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS error_rate
+FROM parsed WHERE {_ACCESS} GROUP BY endpoint
+"""
+
+ORACLES: dict[str, str] = {
+    "transcripts_roundtrip": P
+    + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+    "parsed_turns": P
+    + "SELECT conv_id, turn_idx, role, tool, text, {} FROM parsed".format(
+        ", ".join(PARSED_FIELDS)
+    ),
+    "parsed_turns_pandas": P
+    + "SELECT conv_id, turn_idx, role, tool, text, {} FROM parsed".format(
+        ", ".join(PARSED_FIELDS)
+    ),
+    "rejects": P
+    + "SELECT count(*) AS n_rejects FROM parsed WHERE log_format IS NULL",
+    "status_counts": P
+    + f"SELECT status, count(*) AS n FROM parsed WHERE {_ACCESS} GROUP BY status",
+    "endpoint_stats": P + _ENDPOINT_STATS_BODY,
+    "overall_response_stats": P
+    + f"""
+SELECT round(avg(response_time), 6) AS mean,
+       round(median(response_time), 6) AS median,
+       round(quantile_cont(response_time, 0.95), 6) AS p95,
+       round(quantile_cont(response_time, 0.99), 6) AS p99,
+       max(response_time) AS max
+FROM parsed WHERE {_ACCESS}""",
+    "slow_endpoints": P
+    + f"SELECT * FROM ({_ENDPOINT_STATS_BODY}) WHERE mean_time > 0.5",
+    "performance_metrics": P
+    + f"""
+, es AS (
+  SELECT endpoint, count(*) AS n,
+         round(avg(response_time), 6) AS mean_v,
+         round(quantile_cont(response_time, 0.95), 6) AS p95_v,
+         round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS er_v
+  FROM parsed WHERE {_ACCESS} GROUP BY endpoint HAVING count(*) >= 5
+)
+SELECT endpoint, 'mean_response_time' AS metric_name, mean_v AS metric_value,
+       3600 AS time_window FROM es
+UNION ALL
+SELECT endpoint, 'p95_response_time', p95_v, 3600 FROM es
+UNION ALL
+SELECT endpoint, 'error_rate', er_v, 3600 FROM es""",
+    "overall_error_rate": P
+    + f"""
+SELECT round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS error_rate,
+       count(*) AS total_requests,
+       sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS error_count
+FROM parsed WHERE {_ACCESS}""",
+    "error_endpoints": P
+    + f"""
+SELECT endpoint, error_count, total_count,
+       round(CAST(error_count AS DOUBLE) / total_count, 6) AS endpoint_error_rate
+FROM (
+  SELECT endpoint,
+         sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS error_count,
+         count(*) AS total_count
+  FROM parsed WHERE {_ACCESS} GROUP BY endpoint
+) WHERE error_count > 0""",
+    "traffic_hourly": P
+    + f"""
+SELECT (epoch(ts_parsed)::BIGINT // 3600) * 3600 AS window_start,
+       count(*) AS n_requests
+FROM parsed WHERE {_ACCESS} AND ts_parsed IS NOT NULL GROUP BY 1""",
+    "peak_traffic": P
+    + f"""
+, traffic AS (
+  SELECT (epoch(ts_parsed)::BIGINT // 3600) * 3600 AS window_start,
+         count(*) AS n_requests
+  FROM parsed WHERE {_ACCESS} AND ts_parsed IS NOT NULL GROUP BY 1
+)
+SELECT window_start, n_requests,
+       round((SELECT quantile_cont(n_requests, 0.95) FROM traffic), 6) AS threshold
+FROM traffic
+WHERE n_requests > (SELECT quantile_cont(n_requests, 0.95) FROM traffic)""",
+    "error_rate_5min": P
+    + f"""
+SELECT (epoch(ts_parsed)::BIGINT // 300) * 300 AS window_start,
+       round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS error_rate
+FROM parsed WHERE {_ACCESS} AND ts_parsed IS NOT NULL GROUP BY 1""",
+    "timeframe_logs": P
+    + f"""
+SELECT conv_id, turn_idx, ts_parsed, ip_address, endpoint, status
+FROM parsed
+WHERE {_ACCESS} AND ts_parsed BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+  AND TIMESTAMP '2024-01-05 00:00:00'""",
+    "endpoint_stats_timeframe": P
+    + f"""
+SELECT endpoint, count(*) AS request_count,
+       round(avg(response_time), 6) AS avg_response_time,
+       min(response_time) AS min_response_time,
+       max(response_time) AS max_response_time,
+       sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS error_count
+FROM parsed
+WHERE {_ACCESS} AND ts_parsed BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+  AND TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY endpoint""",
+    "security_events": PS + "SELECT * FROM sec_events",
+    "brute_force": PS
+    + "SELECT ip_address, description FROM sec_events "
+    + "WHERE event_type = 'brute_force_attempt'",
+    "suspicious_ips": PS
+    + "SELECT * FROM sec_events WHERE event_type = 'suspicious_ip'",
+    "unusual_methods": PS
+    + "SELECT * FROM sec_events WHERE event_type = 'unusual_method'",
+    "ip_threat_scores": PS
+    + """
+SELECT ip_address,
+       sum(CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 5
+           WHEN 'high' THEN 10 ELSE 1 END) AS score,
+       sum(CASE WHEN event_type = 'attack_pattern' THEN 1 ELSE 0 END) AS n_attack,
+       sum(CASE WHEN event_type = 'scan_attempt' THEN 1 ELSE 0 END) AS n_scan,
+       sum(CASE WHEN event_type = 'suspicious_ip' THEN 1 ELSE 0 END) AS n_suspicious,
+       sum(CASE WHEN event_type = 'brute_force_attempt' THEN 1 ELSE 0 END) AS n_brute_force,
+       sum(CASE WHEN event_type = 'unusual_method' THEN 1 ELSE 0 END) AS n_unusual_method,
+       CASE WHEN sum(CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 5
+                     WHEN 'high' THEN 10 ELSE 1 END) >= 20 THEN 'high'
+            WHEN sum(CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 5
+                     WHEN 'high' THEN 10 ELSE 1 END) >= 10 THEN 'medium'
+            ELSE 'low' END AS threat_level
+FROM sec_events WHERE ip_address IS NOT NULL GROUP BY ip_address""",
+    "zscore_anomalies": P
+    + f"""
+, rt AS (SELECT conv_id, turn_idx, ts_parsed, response_time FROM parsed
+         WHERE {_ACCESS} AND response_time IS NOT NULL),
+st AS (SELECT avg(response_time) AS mu, stddev_pop(response_time) AS sigma,
+              count(*) AS n FROM rt)
+SELECT conv_id, turn_idx, ts_parsed AS event_ts,
+       'response_time' AS metric_name,
+       round(mu, 6) AS expected_value,
+       response_time AS actual_value,
+       round(CASE WHEN sigma > 0 THEN (response_time - mu) / sigma
+             ELSE 0.0 END, 6) AS z_score
+FROM rt, st
+WHERE n >= 10
+  AND abs(CASE WHEN sigma > 0 THEN (response_time - mu) / sigma ELSE 0.0 END) > 3.0""",
+    "per_conv_zscore": P
+    + f"""
+, rt AS (
+  SELECT conv_id, turn_idx, response_time,
+         avg(response_time) OVER (PARTITION BY conv_id) AS mu,
+         stddev_pop(response_time) OVER (PARTITION BY conv_id) AS sigma,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM parsed WHERE {_ACCESS} AND response_time IS NOT NULL)
+SELECT conv_id, turn_idx, 'response_time' AS metric_name,
+       round(mu, 6) AS expected_value, response_time AS actual_value,
+       round(CASE WHEN sigma > 0 THEN (response_time - mu) / sigma
+             ELSE 0.0 END, 6) AS z_score
+FROM rt
+WHERE n >= 10
+  AND abs(CASE WHEN sigma > 0 THEN (response_time - mu) / sigma ELSE 0.0 END) > 3.0""",
+    "rolling_traffic_anomalies": P
+    + f"""
+, traffic AS (
+  SELECT (epoch(ts_parsed)::BIGINT // 3600) * 3600 AS window_start,
+         count(*) AS n_requests
+  FROM parsed WHERE {_ACCESS} AND ts_parsed IS NOT NULL GROUP BY 1
+),
+rolled AS (
+  SELECT window_start, n_requests,
+         avg(n_requests) OVER w AS rmean_raw,
+         stddev_samp(n_requests) OVER w AS rstd_raw,
+         count(*) OVER w AS rcount,
+         avg(n_requests) OVER () AS gmean,
+         stddev_samp(n_requests) OVER () AS gstd,
+         count(*) OVER () AS n_points
+  FROM traffic
+  WINDOW w AS (ORDER BY window_start ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+banded AS (
+  SELECT window_start, n_requests, n_points,
+         (CASE WHEN rcount >= 3 THEN rmean_raw ELSE gmean END)
+           + 3.0 * coalesce(CASE WHEN rcount >= 3 THEN rstd_raw END, gstd)
+           AS upper_bound,
+         (CASE WHEN rcount >= 3 THEN rmean_raw ELSE gmean END)
+           - 3.0 * coalesce(CASE WHEN rcount >= 3 THEN rstd_raw END, gstd)
+           AS lower_bound
+  FROM rolled
+)
+SELECT window_start, n_requests,
+       round(upper_bound, 6) AS upper_bound,
+       round(lower_bound, 6) AS lower_bound
+FROM banded
+WHERE n_points >= 10 AND (n_requests > upper_bound OR n_requests < lower_bound)""",
+    "iqr_anomalies": P
+    + f"""
+, series AS (
+  SELECT (epoch(ts_parsed)::BIGINT // 300) * 300 AS bucket,
+         avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END) AS error_rate
+  FROM parsed WHERE {_ACCESS} AND ts_parsed IS NOT NULL GROUP BY 1
+),
+st AS (
+  SELECT quantile_cont(error_rate, 0.75) AS q75,
+         quantile_cont(error_rate, 0.25) AS q25,
+         avg(error_rate) AS mu, stddev_pop(error_rate) AS sigma,
+         count(*) AS n_points
+  FROM series
+)
+SELECT bucket AS event_ts, 'error_rate' AS metric_name,
+       round(mu, 6) AS expected_value,
+       round(error_rate, 6) AS actual_value,
+       round(CASE WHEN sigma > 0 THEN (error_rate - mu) / sigma ELSE 0.0 END, 6)
+         AS z_score
+FROM series, st
+WHERE n_points >= 10 AND error_rate > q75 + 1.5 * (q75 - q25)""",
+    "turns_per_conversation": P
+    + """
+SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant_turns,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM transcripts GROUP BY conv_id""",
+    "tool_invocations": P
+    + """
+SELECT tool, count(*) AS n_invocations,
+       count(DISTINCT conv_id) AS n_conversations
+FROM transcripts WHERE tool IS NOT NULL GROUP BY tool""",
+    "turn_gaps": P
+    + """
+SELECT conv_id, turn_idx,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER
+         (PARTITION BY conv_id ORDER BY turn_idx) AS gap_micros
+FROM transcripts""",
+    "turn_ordering_check": P
+    + """
+SELECT count(*) AS n_violations FROM (
+  SELECT turn_idx,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+           AS expected_idx
+  FROM transcripts
+) WHERE turn_idx != expected_idx""",
+    "conversation_alert_rates": PS
+    + """
+, turns AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id),
+alerts AS (
+  SELECT conv_id, count(*) AS n_alerts,
+         sum(CASE WHEN severity = 'high' THEN 1 ELSE 0 END) AS n_high
+  FROM sec_events WHERE conv_id IS NOT NULL GROUP BY conv_id
+)
+SELECT t.conv_id, t.n_turns,
+       coalesce(a.n_alerts, 0) AS n_alerts,
+       coalesce(a.n_high, 0) AS n_high,
+       round(CAST(coalesce(a.n_alerts, 0) AS DOUBLE) / t.n_turns, 6) AS alert_rate
+FROM turns t LEFT JOIN alerts a USING (conv_id)""",
+    "salted_turn_counts": P
+    + """
+SELECT conv_id, count(*) AS n_turns,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns
+FROM transcripts GROUP BY conv_id""",
+    "enriched_status_counts": P
+    + f"""
+SELECT status, {_STATUS_DESC_CASE} AS status_description, count(*) AS n
+FROM parsed WHERE {_ACCESS} GROUP BY status""",
+    "enriched_role_counts": P
+    + f"""
+SELECT role, {_ROLE_CLASS_CASE} AS role_class, count(*) AS n
+FROM transcripts GROUP BY role""",
+}
+
+QUERIES = {
+    "transcripts_roundtrip": q_transcripts_roundtrip,
+    "parsed_turns": q_parsed_turns,
+    "parsed_turns_pandas": q_parsed_turns_pandas,
+    "rejects": q_rejects,
+    "status_counts": q_status_counts,
+    "endpoint_stats": q_endpoint_stats,
+    "overall_response_stats": q_overall_response_stats,
+    "slow_endpoints": q_slow_endpoints,
+    "performance_metrics": q_performance_metrics,
+    "overall_error_rate": q_overall_error_rate,
+    "error_endpoints": q_error_endpoints,
+    "traffic_hourly": q_traffic_hourly,
+    "peak_traffic": q_peak_traffic,
+    "error_rate_5min": q_error_rate_5min,
+    "timeframe_logs": q_timeframe_logs,
+    "endpoint_stats_timeframe": q_endpoint_stats_timeframe,
+    "security_events": q_security_events,
+    "brute_force": q_brute_force,
+    "suspicious_ips": q_suspicious_ips,
+    "unusual_methods": q_unusual_methods,
+    "ip_threat_scores": q_ip_threat_scores,
+    "zscore_anomalies": q_zscore_anomalies,
+    "per_conv_zscore": q_per_conv_zscore,
+    "rolling_traffic_anomalies": q_rolling_traffic_anomalies,
+    "iqr_anomalies": q_iqr_anomalies,
+    "turns_per_conversation": q_turns_per_conversation,
+    "tool_invocations": q_tool_invocations,
+    "turn_gaps": q_turn_gaps,
+    "turn_ordering_check": q_turn_ordering_check,
+    "conversation_alert_rates": q_conversation_alert_rates,
+    "salted_turn_counts": q_salted_turn_counts,
+    "enriched_status_counts": q_enriched_status_counts,
+    "enriched_role_counts": q_enriched_role_counts,
+}
