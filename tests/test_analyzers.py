@@ -1,0 +1,212 @@
+"""Analyzer goldens ported from /root/reference/tests/test_analyzers.py
+(5-row fixture: mean≈0.52, error_rate=0.4, status counts {200:3,404:1,500:1})
+and the suspicious-logs security fixture (:369-438)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.functions.parse import parse_transcripts
+from log_analysis_system_spark.operators import performance as perf
+from log_analysis_system_spark.operators import security as sec
+
+from tests.conftest import access_line, make_transcripts
+
+# the reference's 5-row fixture (test_analyzers.py:196-237) rendered as
+# combined_time log lines
+FIXTURE = [
+    ("192.168.1.1", "10/Oct/2023:13:55:36", "GET", "/index.html", 200, 0.1),
+    ("192.168.1.2", "10/Oct/2023:13:56:30", "GET", "/about.html", 200, 0.2),
+    ("192.168.1.3", "10/Oct/2023:13:57:15", "GET", "/api/data", 200, 0.8),
+    ("192.168.1.4", "10/Oct/2023:13:58:20", "POST", "/api/data", 500, 1.2),
+    ("192.168.1.5", "10/Oct/2023:13:59:10", "GET", "/api/data", 404, 0.3),
+]
+
+# the reference's suspicious fixture (test_analyzers.py:369-410)
+SUSPICIOUS = [
+    ("192.168.1.1", "GET", "/index.html", 200, 0.1),
+    ("192.168.1.100", "GET", "/admin/login.php", 404, 0.2),
+    ("192.168.1.100", "GET", "/../../../etc/passwd", 403, 0.3),
+    ("192.168.1.101", "GET", "/page.php?id=1+UNION+SELECT+username,password+FROM+users", 500, 0.4),
+    ("192.168.1.101", "GET", "/page?<script>alert(xss)</script>", 200, 0.5),
+]
+
+
+@pytest.fixture(scope="module")
+def parsed5(spark):
+    rows = [
+        (
+            "c1",
+            i,
+            "user",
+            access_line(
+                ip=ip,
+                ts=f"{ts} -0700",
+                method=m,
+                endpoint=e,
+                status=s,
+                referer="r",
+                user_agent="ua",
+                response_time=f"{rt:.3f}",
+            ),
+            None,
+            "2023-10-10 13:55:36",
+        )
+        for i, (ip, ts, m, e, s, rt) in enumerate(FIXTURE)
+    ]
+    df = parse_transcripts(make_transcripts(spark, rows))
+    df.persist()
+    return df
+
+
+def test_overall_mean(parsed5):
+    stats = perf.overall_response_stats(parsed5).collect()[0]
+    # test_analyzers.py:255
+    assert abs(stats["mean"] - 0.52) < 1e-9
+    assert stats["max"] == 1.2
+
+
+def test_status_counts(parsed5):
+    counts = {r.status: r.n for r in perf.status_counts(parsed5).collect()}
+    # test_analyzers.py:280-282
+    assert counts == {200: 3, 500: 1, 404: 1}
+
+
+def test_error_rate(parsed5):
+    r = perf.overall_error_rate(parsed5).collect()[0]
+    assert r.error_rate == 0.4  # test_analyzers.py:286
+
+
+def test_slow_endpoints(parsed5):
+    slow = {r.endpoint for r in perf.slow_endpoints(parsed5).collect()}
+    # /api/data mean = (0.8+1.2+0.3)/3 = 0.7667 > 0.5 (config.yaml:18)
+    assert slow == {"/api/data"}
+
+
+def test_error_endpoints(parsed5):
+    rows = {r.endpoint: r for r in perf.error_endpoints(parsed5).collect()}
+    assert set(rows) == {"/api/data"}
+    assert rows["/api/data"].error_count == 2
+    assert rows["/api/data"].total_count == 3
+
+
+def test_performance_metrics_min_support(parsed5):
+    # every endpoint has <5 requests -> no metrics (performance.py:82)
+    assert perf.performance_metrics(parsed5).count() == 0
+
+
+@pytest.fixture(scope="module")
+def parsed_suspicious(spark):
+    rows = [
+        (
+            "c1",
+            i,
+            "user",
+            access_line(
+                ip=ip, method=m, endpoint=e, status=s,
+                response_time=f"{rt:.3f}", referer="r", user_agent="ua",
+            ),
+            None,
+            "2023-10-10 13:55:36",
+        )
+        for i, (ip, m, e, s, rt) in enumerate(SUSPICIOUS)
+    ]
+    return parse_transcripts(make_transcripts(spark, rows))
+
+
+def test_attack_detection(spark, parsed_suspicious):
+    events = sec.attack_events(parsed_suspicious).collect()
+    by_ep = {e.endpoint: e for e in events}
+    # ../.. fires on the traversal endpoint; first-match-wins ordering:
+    # UNION SELECT line matches 'SELECT.*FROM' (listed before 'UNION.*SELECT')
+    assert any("/etc/passwd" in ep or "../" in ep for ep in by_ep)
+    union_ev = [e for e in events if "UNION" in e.endpoint]
+    assert union_ev and "SELECT.*FROM" in union_ev[0].description
+    # reference-faithful subtlety: '../..' is a REGEX ('.' = any char), so
+    # ')</sc' inside '</script>' matches it, and it precedes '<script>' in
+    # the pattern list (config.yaml:26-31) -> first-match-wins picks '../..'
+    script_ev = [e for e in events if "script" in e.endpoint]
+    assert script_ev and "../.." in script_ev[0].description
+    assert all(e.severity == "high" for e in events)
+
+
+def test_threat_scores(spark, parsed_suspicious):
+    events = sec.all_security_events(parsed_suspicious)
+    scores = {r.ip_address: r for r in sec.ip_threat_scores(events).collect()}
+    assert "192.168.1.100" in scores
+    assert "192.168.1.101" in scores
+    # severity weights: high=10 (security.py:346-350)
+    assert scores["192.168.1.101"].score >= 20
+    assert scores["192.168.1.101"].threat_level == "high"
+
+
+def test_brute_force_threshold(spark):
+    # 5 failed logins from one IP -> exactly one event (security.py:279)
+    rows = [
+        (
+            "c1",
+            i,
+            "user",
+            access_line(
+                ip="10.0.0.9", endpoint="/login", status=401,
+                referer="r", user_agent="ua", response_time="0.100",
+            ),
+            None,
+            "2023-10-10 13:55:36",
+        )
+        for i in range(5)
+    ] + [
+        (
+            "c1",
+            5,
+            "user",
+            access_line(
+                ip="10.0.0.8", endpoint="/login", status=401,
+                referer="r", user_agent="ua", response_time="0.100",
+            ),
+            None,
+            "2023-10-10 13:55:36",
+        )
+    ]
+    parsed = parse_transcripts(make_transcripts(spark, rows))
+    events = sec.brute_force_events(parsed).collect()
+    assert len(events) == 1
+    assert events[0].ip_address == "10.0.0.9"
+    assert "5 failed login attempts" in events[0].description
+
+
+def test_unusual_methods(spark):
+    rows = [
+        ("c1", 0, "user", access_line(method="DELETE", ip="10.0.0.1"), None,
+         "2023-10-10 13:55:36"),
+        ("c1", 1, "user", access_line(method="GET", ip="10.0.0.1"), None,
+         "2023-10-10 13:55:36"),
+        ("c1", 2, "user", access_line(method="TRACE", ip="10.0.0.2"), None,
+         "2023-10-10 13:55:36"),
+    ]
+    parsed = parse_transcripts(make_transcripts(spark, rows))
+    events = sec.unusual_method_events(parsed).collect()
+    assert {(e.ip_address, e.description.split()[3]) for e in events} == {
+        ("10.0.0.1", "DELETE"),
+        ("10.0.0.2", "TRACE"),
+    }
+    assert all(e.severity == "medium" for e in events)
+
+
+def test_suspicious_ip_broadcast_join(spark):
+    rows = [
+        ("c1", 0, "user", access_line(ip="45.33.10.20", endpoint="/a"), None,
+         "2023-10-10 13:55:36"),
+        ("c1", 1, "user", access_line(ip="45.33.10.20", endpoint="/b"), None,
+         "2023-10-10 13:55:36"),
+        ("c1", 2, "user", access_line(ip="1.2.3.4"), None,
+         "2023-10-10 13:55:36"),
+    ]
+    parsed = parse_transcripts(make_transcripts(spark, rows))
+    events = sec.suspicious_ip_events(parsed).collect()
+    assert len(events) == 1
+    e = events[0]
+    assert e.ip_address == "45.33.10.20"
+    assert e.endpoint == "/a"  # deterministic first by (conv_id, turn_idx)
+    assert "(2 requests)" in e.description

@@ -1,0 +1,127 @@
+"""End-to-end pipeline tests: fan-out sinks, lineage/state, resume
+idempotence (SURVEY §5 rebuild test plan layer 3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.datagen.transcripts import synth_transcripts
+from log_analysis_system_spark.functions.parse import parse_transcripts
+from log_analysis_system_spark.operators import security as sec
+from log_analysis_system_spark.pipeline import run_pipeline
+from log_analysis_system_spark.sources import catalog
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synth_transcripts(spark, n_turns=4000, n_convs=40)
+    df.persist()
+    df.count()
+    return df
+
+
+def _read(spark, out, name):
+    return catalog.read_table(spark, str(out), name)
+
+
+def test_pipeline_fanout_counts(spark, transcripts, tmp_path_factory):
+    out = tmp_path_factory.mktemp("pipe")
+    res = run_pipeline(spark, transcripts, str(out), "run1", n_buckets=8)
+    assert res.aggregate_ran
+    assert sorted(res.buckets_processed) == list(range(8))
+
+    parsed = parse_transcripts(transcripts)
+    n_access = parsed.where(F.col("log_type") == "access").count()
+    n_error = parsed.where(F.col("log_type") == "error").count()
+    n_reject = parsed.where(F.col("log_format").isNull()).count()
+    assert n_access + n_error + n_reject == 4000
+
+    assert _read(spark, out, "parsed_turns").count() == n_access
+    assert _read(spark, out, "error_turns").count() == n_error
+    assert _read(spark, out, "rejects").count() == n_reject
+
+    # per-severity fan-out equals the detectors run directly
+    events = sec.all_security_events(parsed)
+    by_sev = {
+        r.severity: r.n
+        for r in events.groupBy("severity").agg(F.count("*").alias("n")).collect()
+    }
+    got_high = (
+        _read(spark, out, "security_events_high").count()
+        + _read(spark, out, "security_events_agg_high").count()
+    )
+    got_med = (
+        _read(spark, out, "security_events_medium").count()
+        + _read(spark, out, "security_events_agg_medium").count()
+    )
+    assert got_high == by_sev.get("high", 0)
+    assert got_med == by_sev.get("medium", 0)
+
+    # state table has one 'done' row per bucket plus the aggregate stage
+    state = _read(spark, out, "state_metrics")
+    route_rows = state.where(F.col("stage") == "route").collect()
+    assert {r.bucket for r in route_rows} == set(range(8))
+    assert all(r.status == "done" for r in route_rows)
+    # lineage row counts match the parsed sink per bucket
+    sink_by_bucket = {
+        r.bucket: r.n
+        for r in _read(spark, out, "parsed_turns")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    state_by_bucket = {r.bucket: r.row_count for r in route_rows}
+    assert state_by_bucket == {
+        b: sink_by_bucket.get(b, 0) for b in range(8)
+    }
+
+
+def test_pipeline_resume_idempotent(spark, transcripts, tmp_path_factory):
+    out = tmp_path_factory.mktemp("pipe_resume")
+    # crash after the route stage
+    res1 = run_pipeline(
+        spark, transcripts, str(out), "run1", n_buckets=8, fail_after_route=True
+    )
+    assert not res1.aggregate_ran
+
+    # resume: route buckets are all done -> skipped; aggregate runs
+    res2 = run_pipeline(spark, transcripts, str(out), "run1", n_buckets=8)
+    assert res2.buckets_processed == []
+    assert res2.buckets_skipped == list(range(8))
+    assert res2.aggregate_ran
+
+    # a third full rerun must not duplicate anything (dynamic overwrite)
+    n_parsed = _read(spark, out, "parsed_turns").count()
+    res3 = run_pipeline(spark, transcripts, str(out), "run1", n_buckets=8)
+    assert _read(spark, out, "parsed_turns").count() == n_parsed
+
+    # and a no-resume rerun rewrites in place, still no dupes
+    run_pipeline(spark, transcripts, str(out), "run1", n_buckets=8, resume=False)
+    assert _read(spark, out, "parsed_turns").count() == n_parsed
+
+
+def test_alert_throttling(spark, transcripts, tmp_path_factory):
+    from log_analysis_system_spark import state as st
+
+    out = tmp_path_factory.mktemp("alerts")
+    parsed = parse_transcripts(transcripts)
+    events = sec.all_security_events(parsed)
+    high = events.where(F.col("severity") == "high")
+
+    # first batch: every alert_type passes and is recorded
+    passed1 = st.throttle_alerts(spark, str(out), high, "r1", now_epoch=1_000_000)
+    types1 = {r.alert_type for r in passed1.collect()}
+    assert types1
+
+    # same types within the throttle period -> suppressed (notifier.py:50-77)
+    passed2 = st.throttle_alerts(
+        spark, str(out), high, "r2", now_epoch=1_000_000 + 100
+    )
+    assert passed2.count() == 0
+
+    # after the period expires -> pass again
+    passed3 = st.throttle_alerts(
+        spark, str(out), high, "r3", now_epoch=1_000_000 + 4000
+    )
+    assert {r.alert_type for r in passed3.collect()} == types1
