@@ -1,0 +1,121 @@
+"""Benchmark driver: headline queries + end-to-end pipeline at one SF.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "turns": N,
+   "turns_per_sec": N, "cpus": N}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default all)
+  BENCH_QUERIES       comma-separated subset (default: headline set)
+  BENCH_REPEAT        timed repetitions per query (default 1)
+
+Timing protocol: each query is built lazily, then forced with the noop sink
+(`format("noop")`) so we measure scan + compute + shuffle, not collect or
+parquet-encode.  The pipeline run measures real sink writes (that IS its job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from log_analysis_system_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "parsed_turns",            # grok parse (SQL-native path)
+    "parsed_turns_pandas",     # grok parse (Arrow pandas-UDF path)
+    "endpoint_stats",          # flagship agg (reference database.py:322-363)
+    "security_events",         # 5-detector union
+    "ip_threat_scores",        # weighted score agg
+    "traffic_hourly",          # tumbling window
+    "turns_per_conversation",  # per-conv window agg
+    "rolling_traffic_anomalies",  # window-frame rolling bands
+]
+DATA_HEADLINE = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_topk_cosine",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan; return row count via a cheap count on top."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    names = [q for q in HEADLINE + DATA_HEADLINE if q in registry]
+    if os.environ.get("BENCH_QUERIES"):
+        names = [q.strip() for q in os.environ["BENCH_QUERIES"].split(",")]
+        unknown = [q for q in names if q not in registry]
+        if unknown:
+            sys.stderr.write(
+                f"unknown BENCH_QUERIES {unknown}; known: {sorted(registry)}\n"
+            )
+            sys.exit(2)
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + Arrow path once so q1 doesn't pay session startup.
+    registry[names[0]](spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _force(registry[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    # End-to-end pipeline: parse -> enrich -> route -> aggregate with real
+    # sink writes + state table (the north-rule headline metric).
+    from log_analysis_system_spark.pipeline import run_pipeline
+    from log_analysis_system_spark.queries_log import load_transcripts
+
+    transcripts = load_transcripts(spark, sf_dir)
+    n_turns = transcripts.count()
+    out = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        t0 = time.perf_counter()
+        run_pipeline(spark, transcripts, out, run_id="bench", resume=False)
+        pipeline_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    timings["pipeline_e2e"] = round(pipeline_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline queries + e2e parse->route->aggregate pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "cpus": int(cpus) if cpus else os.cpu_count(),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
