@@ -245,7 +245,9 @@ def q_endpoint_stats_timeframe(spark, sf_dir):
 
 
 def q_security_events(spark, sf_dir):
-    return sec.all_security_events(load_parsed(spark, sf_dir))
+    # five detectors fan out from one parse: persist so the scan+parse runs
+    # once, not per union branch (same strategy as pipeline._route_stage)
+    return sec.all_security_events(load_parsed(spark, sf_dir).persist())
 
 
 def q_brute_force(spark, sf_dir):
@@ -263,7 +265,7 @@ def q_unusual_methods(spark, sf_dir):
 
 
 def q_ip_threat_scores(spark, sf_dir):
-    events = sec.all_security_events(load_parsed(spark, sf_dir))
+    events = sec.all_security_events(load_parsed(spark, sf_dir).persist())
     return sec.ip_threat_scores(events)
 
 
