@@ -1,0 +1,285 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data dedup, Spark-first. Five families:
+
+- exact (hash-groupBy on md5(text));
+- exact n-gram Jaccard (explode-shingles + shingle equi-join — the exact
+  subquadratic formulation; candidate pairs only exist where a shingle is
+  shared, so the join output is bounded by shingle co-occurrence, not n²);
+- MinHash + LSH (signature -> bands -> bucket join -> exact-Jaccard verify:
+  emitted pairs are *verified*, so LSH is purely a candidate filter and the
+  output equals the exact operator whenever band recall holds at the
+  threshold — with b=12 r=3 the miss probability at s=0.9 is ~1.6e-7);
+- SimHash (32-bit signature, banded Hamming join);
+- embedding cosine (exact pair join at test scale; the ANN operators in
+  ``similarity.py`` are the 10^12-row path).
+
+Scale notes (100 TB design point): every self-join here keys on a
+high-cardinality derived column (shingle, band bucket, simhash band), so
+shuffles partition evenly; hot shingles (stop-shingles) are the skew risk —
+``ngram_jaccard_pairs`` drops shingles above ``max_shingle_freq`` (standard
+practice: a shingle shared by thousands of docs contributes nothing to
+near-dup discrimination but creates a quadratic bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.texthash import minhash_signature, shingles, simhash32
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_BANDS = 12
+MINHASH_ROWS = 3
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # 4 x 8-bit bands: Hamming<=3 pairs share >=1 exact band
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per duplicate doc, pointing at
+    the canonical (minimum) doc_id of its text-hash group.
+
+    Grouping on ``md5(text)`` (not raw text) keeps shuffle keys 32 bytes at
+    10^12 scale. Output: (canonical_id, dup_id).
+    """
+    groups = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.collect_list("doc_id").alias("ids"),
+        )
+        .where(F.size("ids") > 1)
+    )
+    return (
+        groups.select(
+            "canonical_id", F.explode("ids").alias("dup_id")
+        )
+        .where(F.col("dup_id") != F.col("canonical_id"))
+        .orderBy("canonical_id", "dup_id")
+    )
+
+
+def _shingle_docs(docs: DataFrame, k: int) -> DataFrame:
+    return docs.select("doc_id", shingles(F.col("text"), k).alias("ts"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs by word-k-gram Jaccard >= threshold.
+
+    Explode-join formulation: intersection sizes come from a shingle
+    equi-join (shuffle keyed on the shingle — subquadratic), set sizes from
+    a per-doc count; Jaccard = |I| / (|A| + |B| - |I|).
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the join (skew guard for web-scale corpora). Unset at test
+    scale so the DuckDB oracle (no cap) matches exactly.
+    """
+    sh = _shingle_docs(docs, k)
+    sizes = sh.select("doc_id", F.size("ts").alias("n"))
+    ex = sh.select("doc_id", F.explode("ts").alias("s"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+        ex = (
+            ex.join(freq.where(F.col("df") <= max_shingle_freq), "s", "left_semi")
+        )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = 3,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+
+    signature (bands*rows xxhash64 minima) -> band buckets
+    (hash of each r-slice) -> self-join per bucket -> distinct candidate
+    pairs -> verify with exact Jaccard on the shingle arrays ->
+    emit pairs >= threshold. The verify step bounds false positives at
+    zero; band recall bounds false negatives (see module docstring).
+
+    At 10^12 rows the bucket join replaces the all-pairs problem with
+    per-bucket blocks; AQE skew-split handles pathological buckets.
+    """
+    n_hashes = bands * rows
+    sh = _shingle_docs(docs, k).where(F.size("ts") > 0)
+    sig = sh.select(
+        "doc_id", "ts", minhash_signature(F.col("ts"), n_hashes).alias("mh")
+    )
+    # band key: xxhash64 over the band's row slice (array equality -> hash).
+    # Shingle arrays are NOT carried through the x`bands` explode — the
+    # candidate set is tiny relative to the corpus, so arrays are joined
+    # back only for verification.
+    band_entries = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("mh", b * rows + 1, rows)).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc 32-bit SimHash over word-k-gram shingles (cross-engine
+    md5-derived feature hashes — the oracle recomputes the identical
+    signature)."""
+    sh = _shingle_docs(docs, k)
+    return sh.select("doc_id", simhash32(F.col("ts")).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    k: int = 3,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Banded join (pigeonhole: distance <= bands-1 guarantees >= 1 identical
+    band; here 4 bands of 8 bits for <= 3): candidates share an exact band
+    byte, then the full Hamming filter runs only on candidates. Output is
+    exact for max_hamming < bands — the oracle brute-forces all pairs and
+    must agree.
+    """
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
+    sig = simhash_signatures(docs, k)
+    width = 32 // bands
+    entries = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright("simhash", b * width)
+                            % F.lit(1 << width)
+                        ).alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    a = entries.alias("a")
+    b = entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Exact embedding near-dup pairs: cosine >= threshold.
+
+    Pair join at test scale (the verification baseline); at 10^12 rows use
+    ``similarity.ann_lsh_bucketed`` to generate candidates and this cosine
+    expression to verify. Cosine is computed as
+    dot / (sqrt(sum a²) * sqrt(sum b²)) with left-to-right summation —
+    bit-reproducible against the oracle's identical formula, rounded to
+    6 dp on both sides.
+    """
+    v = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (dot / (na * nb)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,263 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three operators, all over ``embeddings (vec_id bigint, embedding
+array<float>, label int)``:
+
+- ``brute_force_topk``: exact cosine top-k via JVM expressions
+  (``zip_with``/``aggregate`` dot product) + a per-query window. The
+  correctness baseline; oracle-matched.
+- ``brute_force_topk_np``: the same result via Arrow-batched
+  ``mapInPandas`` + NumPy blocked matmul — the throughput path: the corpus
+  streams through executors in Arrow batches against a broadcast query
+  matrix; per-batch partial top-k then a global top-k merge. This is the
+  shape that scales to 10^12 rows (no shuffle on the corpus side at all).
+- ``ann_lsh_bucketed``: random-hyperplane LSH — deterministic hyperplanes
+  derived from md5 hashes, signature bucketing, candidates restricted to
+  same-bucket vectors (multi-table). Approximate: no SQL oracle; tests
+  check recall >= 0.9 against brute force at test scale.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_K = 5
+# Signature sizing depends on the neighbor-angle regime: recall per table is
+# (1 - theta/pi)^planes. The test corpus's true neighbors sit near 60 deg
+# (cosine ~0.5), so short signatures x many tables (4x16 -> ~0.96 recall)
+# are right; a near-duplicate workload (theta < 15 deg) would instead use
+# 12-16 planes for bucket selectivity. Both knobs are per-call parameters.
+LSH_PLANES = 4
+LSH_TABLES = 16
+
+
+def _norm_vec(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = DEFAULT_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (small); the corpus side never shuffles until
+    the per-query window, which runs on (n_queries x corpus) rows — at real
+    scale prefer :func:`brute_force_topk_np` which folds top-k into the
+    scan. Ties broken by neighbor id; cosine rounded to 6 dp.
+    """
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (_norm_vec(F.col("qv")) * _norm_vec(F.col("cv")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine", DoubleType()),
+        StructField("rank", IntegerType()),
+    ]
+)
+
+
+def brute_force_topk_np(
+    emb: DataFrame, queries: DataFrame, k: int = DEFAULT_K
+) -> DataFrame:
+    """Exact top-k cosine via mapInPandas + NumPy matmul (the scale path).
+
+    The query matrix rides to executors inside the closure (broadcast by
+    task serialization — it is k·dim floats, tiny); each Arrow batch of the
+    corpus contributes a partial candidate set (per-batch exact top-k), and
+    a final per-query window over ``n_batches * k`` candidates picks the
+    global top-k. Corpus-side shuffle: none. Matches the SQL-expression
+    operator exactly after 6-dp rounding (float64 matmul vs sequential sum
+    differ at ~1e-15).
+    """
+    qrows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_mat @ mat.T  # (n_queries, batch)
+            # mask self-matches
+            for qi, qid in enumerate(q_ids):
+                sims[qi, ids == qid] = -np.inf
+            take = min(k, sims.shape[1])
+            # per-query partial top-k (argpartition: O(batch) per query)
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out = {
+                "query_id": np.repeat(q_ids, take),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            df = pd.DataFrame(out)
+            df = df[np.isfinite(df["cosine"])]
+            df["rank"] = 0
+            yield df
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(part, _TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, table: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: md5-seeded uniform in
+    [-1, 1). Stable across sessions/machines (no RNG state)."""
+    import hashlib
+
+    vals = np.empty((planes, dim))
+    for p in range(planes):
+        for d in range(dim):
+            h = hashlib.md5(f"lsh:{table}:{p}:{d}".encode()).hexdigest()
+            vals[p, d] = int(h[:15], 16) / float(1 << 60) * 2.0 - 1.0
+    return vals
+
+
+def lsh_signature_udf_planes(dim: int, planes: int = LSH_PLANES,
+                             tables: int = LSH_TABLES) -> list[np.ndarray]:
+    return [_hyperplanes(dim, planes, t) for t in range(tables)]
+
+
+def ann_lsh_bucketed(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join.
+
+    Each vector gets ``tables`` signature buckets (sign pattern of
+    ``planes`` hyperplane projections). Candidates = corpus vectors sharing
+    a bucket with the query in any table; exact cosine + top-k on the
+    candidates. Recall is probabilistic — verified >= 0.9 vs brute force in
+    tests; at 10^12 scale the bucket join touches ~corpus/2^planes x tables
+    rows per query instead of the full corpus.
+    """
+    hps = lsh_signature_udf_planes(dim, planes, tables)
+
+    def sig_exprs(vcol):
+        out = []
+        for t, hp in enumerate(hps):
+            bits = F.lit(0)
+            for p in range(planes):
+                proj = F.aggregate(
+                    F.zip_with(
+                        vcol,
+                        F.array(*[F.lit(float(x)) for x in hp[p]]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                bits = bits + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            out.append(
+                F.struct(F.lit(t).alias("tbl"), bits.alias("sig"))
+            )
+        return F.array(*out)
+
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("sigs", sig_exprs(F.col("cv")))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("sigs", sig_exprs(F.col("qv")))
+
+    ce = c.select(
+        "neighbor_id", "cv", F.explode("sigs").alias("s")
+    ).select("neighbor_id", "cv", "s.tbl", "s.sig")
+    qe = q.select(
+        "query_id", "qv", F.explode("sigs").alias("s")
+    ).select("query_id", "qv", "s.tbl", "s.sig")
+
+    cand = (
+        ce.join(
+            F.broadcast(qe),
+            (ce["tbl"] == qe["tbl"])
+            & (ce["sig"] == qe["sig"])
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot / (_norm_vec(F.col("qv")) * _norm_vec(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data pipeline stages: token counting, quality scoring, language
+identification, document fingerprinting. Everything is built-in Spark SQL
+expressions (JVM, whole-stage codegen) — no UDFs — and every formula is
+reproduced verbatim in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.texthash import md5_hash60, shingles, tokens
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+# (same char classes in Spark's Java regex and DuckDB's RE2).
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Fixed public stopword profiles (tiny deterministic language signatures).
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "eine", "zu", "mit"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "una"],
+    "fr": ["le", "la", "les", "et", "de", "que", "en", "un", "une", "est"],
+}
+STOPWORDS = sorted({w for ws in LANG_PROFILES.values() for w in ws})
+
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_MEAN_TOKEN_LEN = 12.0
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace tokens, BPE-ish subword count,
+    distinct-token ratio. Single scan, all codegen."""
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), 0)).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 6).alias("distinct_ratio"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring (Gopher/C4-style rule family):
+
+    - stopword_ratio: fraction of tokens in the shared stopword list;
+    - mean_token_len;
+    - alpha_ratio: alphabetic chars / all chars;
+    - keep flag: enough tokens, sane mean token length, some stopwords.
+    """
+    t = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(t, stop_arr))  # distinct-stopword hits
+    n_stop_tokens = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    mean_tok = (F.length("text") - (F.size(t) - 1)) / F.size(t)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.round(n_stop_tokens / F.size(t), 6).alias("stopword_ratio"),
+            F.round(mean_tok, 6).alias("mean_token_len"),
+            F.round(alpha, 6).alias("alpha_ratio"),
+            n_stop.alias("n_distinct_stopwords"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+            & (F.col("mean_token_len") <= QUALITY_MAX_MEAN_TOKEN_LEN)
+            & (F.col("n_distinct_stopwords") >= 1),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: per-language score = fraction of
+    tokens in that language's signature set; argmax with deterministic
+    alphabetical tie-break (matches the oracle's CASE cascade)."""
+    t = tokens(F.col("text"))
+
+    def _in_set(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        # closure, not a default arg: pyspark introspects lambda arity and
+        # would bind a lambda-variable Column to any extra parameter
+        return lambda x: F.array_contains(arr, x)
+
+    scored = docs.select(
+        "doc_id",
+        *[
+            (F.size(F.filter(t, _in_set(ws))) / F.size(t)).alias(f"s_{lang}")
+            for lang, ws in sorted(LANG_PROFILES.items())
+        ],
+    )
+    langs = sorted(LANG_PROFILES)
+    pred = F.when(F.lit(False), F.lit(None).cast("string"))
+    for lang in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        pred = pred.when(cond, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[F.round(F.col(f"s_{lang}"), 6).alias(f"s_{lang}") for lang in langs],
+    ).orderBy("doc_id")
+
+
+def fingerprints(docs: DataFrame, k: int = 3, n: int = 4) -> DataFrame:
+    """Bottom-n sketch fingerprint: the n smallest md5-60bit shingle hashes
+    per doc (a fixed-size, order-insensitive content signature usable for
+    near-dup blocking and set-similarity estimation at scale)."""
+    sh = shingles(F.col("text"), k)
+    hs = F.array_sort(F.transform(sh, md5_hash60))
+    cols = [
+        F.get(hs, i).alias(f"fp{i}") for i in range(n)  # null when < n shingles
+    ]
+    return docs.select("doc_id", *cols).orderBy("doc_id")

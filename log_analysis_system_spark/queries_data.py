@@ -1,0 +1,283 @@
+"""Driver-facing training-data queries (dedup / similarity / text analysis
+/ multimodal) with paired DuckDB oracle SQL.
+
+Oracle design notes:
+
+- The md5-60bit hash (``functions.texthash``) is computed identically on
+  both engines, so hash-bearing outputs (simhash, fingerprints) are
+  bit-compared.
+- MinHash/LSH emits *exact-Jaccard-verified* pairs, so its oracle is the
+  independent exact all-pairs SQL — the probabilistic stage must reach
+  recall 1.0 on the planted near-dups (b=12, r=3: miss ~1.6e-7 at s=0.9)
+  or the gate fails loudly.
+- Cosines are computed with the same formula (sequential dot, sqrt-norm
+  product) and rounded to 6 dp on both sides.
+- ``ann_lsh_bucketed`` is genuinely approximate -> no oracle entry
+  (driver records a rows-only check); tests assert recall vs brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.texthash import DUCK_HASH60, duck_shingles_cte, duck_simhash32_sql
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import textstats as ts
+
+N_ANN_QUERIES = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------- dedup
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return dd.embedding_cosine_pairs(_emb(spark, sf_dir))
+
+
+# -------------------------------------------------------------- similarity
+def q_ann_topk_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.brute_force_topk(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
+
+
+def q_ann_topk_cosine_np(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.brute_force_topk_np(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.ann_lsh_bucketed(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
+
+
+# ------------------------------------------------------------ text analysis
+def q_text_token_stats(spark, sf_dir):
+    return ts.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return ts.quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_language_id(spark, sf_dir):
+    return ts.language_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprints(spark, sf_dir):
+    return ts.fingerprints(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------- multimodal
+def q_multimodal_features(spark, sf_dir):
+    return mm.extract_features(mm.attach_binary_payload(_docs(spark, sf_dir)))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_topk_cosine_np": q_ann_topk_cosine_np,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "text_fingerprints": q_text_fingerprints,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+# ================================================================== oracles
+_SH_CTE = duck_shingles_cte("documents", k=3)
+
+_EXACT_JACCARD_SQL = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, len(ts) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= {dd.JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+_TOK = "string_split(text, ' ')"
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS) + "]"
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, ws in sorted(ts.LANG_PROFILES.items()):
+        lst = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        parts.append(
+            f"len(list_filter(t, x -> list_contains({lst}, x)))::DOUBLE / len(t) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+def _lang_pred_sql() -> str:
+    langs = sorted(ts.LANG_PROFILES)
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+_H60 = DUCK_HASH60.format(x="s")
+_SIMHASH_EXPR = duck_simhash32_sql(
+    f"list_transform(ts, s -> ({_H60} % 4294967296))", "len(ts)"
+)
+
+_COS = (
+    "list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]) / "
+    "(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, len({a}) + 1)])) * "
+    "sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, len({b}) + 1)])))"
+)
+
+ORACLES = {
+    "dedup_exact": """
+WITH g AS (
+  SELECT md5(text) AS h, min(doc_id) AS canonical_id,
+         list(doc_id) AS ids, count(*) AS c
+  FROM documents GROUP BY 1
+)
+SELECT canonical_id, dup_id FROM (
+  SELECT canonical_id, unnest(ids) AS dup_id FROM g WHERE c > 1
+) WHERE dup_id <> canonical_id
+ORDER BY canonical_id, dup_id
+""",
+    "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
+    "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
+    "dedup_simhash": f"""
+WITH {_SH_CTE},
+sig AS (SELECT doc_id, {_SIMHASH_EXPR} AS sh FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {dd.SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+""",
+    "dedup_embedding_cosine": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS.format(a="a.e", b="b.e")} AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {dd.COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+    "ann_topk_cosine": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < {N_ANN_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a="q.e", b="c.e")} AS cosine
+  FROM q JOIN v c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {sim.DEFAULT_K}
+ORDER BY query_id, rank
+""",
+    "text_token_stats": f"""
+SELECT doc_id,
+       len({_TOK}) AS n_tokens,
+       len(regexp_extract_all(text, '{ts.BPE_REGEX}')) AS n_bpe_tokens,
+       len(list_distinct({_TOK})) AS n_distinct_tokens,
+       round(len(list_distinct({_TOK}))::DOUBLE / len({_TOK}), 6) AS distinct_ratio,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+    "text_quality": f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOK} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+               / len(t), 6) AS stopword_ratio,
+         round((length(text) - (len(t) - 1))::DOUBLE / len(t), 6) AS mean_token_len,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / length(text), 6) AS alpha_ratio,
+         len(list_intersect(t, {_STOP_LIST})) AS n_distinct_stopwords
+  FROM base
+)
+SELECT *,
+       (n_tokens >= {ts.QUALITY_MIN_TOKENS}
+        AND mean_token_len <= {ts.QUALITY_MAX_MEAN_TOKEN_LEN}
+        AND n_distinct_stopwords >= 1) AS keep
+FROM m ORDER BY doc_id
+""",
+    "text_language_id": f"""
+WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),
+scored AS (SELECT doc_id, {_lang_scores_sql()} FROM base)
+SELECT doc_id, {_lang_pred_sql()} AS pred_lang,
+       round(s_de, 6) AS s_de, round(s_en, 6) AS s_en,
+       round(s_es, 6) AS s_es, round(s_fr, 6) AS s_fr
+FROM scored ORDER BY doc_id
+""",
+    "text_fingerprints": f"""
+WITH {_SH_CTE},
+hs AS (
+  SELECT doc_id,
+         list_sort(list_transform(ts, s -> {_H60})) AS h
+  FROM sh
+)
+SELECT doc_id, h[1] AS fp0, h[2] AS fp1, h[3] AS fp2, h[4] AS fp3
+FROM hs ORDER BY doc_id
+""",
+    "multimodal_features": """
+SELECT doc_id,
+       'text/plain' AS mime,
+       octet_length(encode(text))::INT AS n_bytes,
+       unicode(substr(text, 1, 1))::INT AS first_byte,
+       unicode(substr(text, length(text), 1))::INT AS last_byte
+FROM documents ORDER BY doc_id
+""",
+}
+ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]

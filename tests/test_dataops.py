@@ -1,0 +1,159 @@
+"""Tests for the training-data operators (dedup / similarity / text /
+multimodal) on small crafted frames + the sf0.001 parquet tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.operators import dedup as dd
+from log_analysis_system_spark.operators import multimodal as mm
+from log_analysis_system_spark.operators import similarity as sim
+from log_analysis_system_spark.operators import textstats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"],
+    )
+
+
+# ------------------------------------------------------------------- dedup
+def test_exact_duplicates(spark):
+    df = docs_df(spark, ["a b c", "d e f", "a b c", "a b c", "g h i"])
+    rows = dd.exact_duplicates(df).collect()
+    assert [(r.canonical_id, r.dup_id) for r in rows] == [(0, 2), (0, 3)]
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    far = "completely different words with no overlap at all here now ok"
+    df = docs_df(spark, [base, near, far])
+    rows = dd.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert (rows[0].id_a, rows[0].id_b) == (0, 1)
+    assert 0.5 <= rows[0].jaccard < 1.0
+
+
+def test_minhash_equals_exact_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.ngram_jaccard_pairs(docs).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    assert lsh == exact
+    assert exact, "testdata should contain planted near-duplicates"
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = docs_df(spark, [t, t, "unrelated totally other words list here ok"])
+    rows = dd.simhash_pairs(df).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),   # cos ~0.9939 with vec 0
+            (2, [0.0, 1.0, 0.0], 1),   # orthogonal to 0
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    rows = dd.embedding_cosine_pairs(emb, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    assert rows[0].cosine == pytest.approx(0.9939, abs=1e-4)
+
+
+# -------------------------------------------------------------- similarity
+def test_brute_force_topk_sql_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    a = [tuple(r) for r in sim.brute_force_topk(emb, q, k=3).collect()]
+    b = [tuple(r) for r in sim.brute_force_topk_np(emb, q, k=3).collect()]
+    assert a == b
+    assert len(a) == 5 * 3
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_lsh_bucketed(emb, q, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall} collapsed"
+
+
+# ------------------------------------------------------------ text analysis
+def test_token_stats(spark):
+    df = docs_df(spark, ["a b b c"])
+    r = ts.token_stats(df).collect()[0]
+    assert (r.n_tokens, r.n_distinct_tokens, r.n_chars) == (4, 3, 7)
+    assert r.n_bpe_tokens == 4
+
+
+def test_quality_keep_flag(spark):
+    good = "the cat sat on the mat and then the dog sat on the cat " \
+           "while it was raining all day long in town"
+    bad = "xx yy"
+    df = docs_df(spark, [good, bad])
+    rows = {r.doc_id: r for r in ts.quality_scores(df).collect()}
+    assert rows[0].keep is True
+    assert rows[1].keep is False
+    assert rows[0].stopword_ratio > 0.2
+
+
+def test_language_id_separates_profiles(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat and the dog in the house",
+            "le chat et la maison est grande un peu",
+            "der hund und die katze ist nicht da",
+        ],
+    )
+    preds = {r.doc_id: r.pred_lang for r in ts.language_id(df).collect()}
+    assert preds == {0: "en", 1: "fr", 2: "de"}
+
+
+def test_fingerprints_stable_and_sorted(spark):
+    df = docs_df(spark, ["one two three four five six", "one two three four five six"])
+    rows = ts.fingerprints(df).collect()
+    assert [rows[0].fp0, rows[0].fp1] == [rows[1].fp0, rows[1].fp1]
+    assert rows[0].fp0 <= rows[0].fp1
+
+
+# --------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    mmdf = mm.attach_binary_payload(docs)
+    assert dict(mmdf.dtypes)["payload"] == "binary"
+    feats = mm.extract_features(mmdf)
+    joined = (
+        feats.join(docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id")
+        .where(F.col("n_bytes") != F.col("n_chars"))
+        .count()
+    )
+    assert joined == 0  # ASCII corpus: bytes == chars
+    r = feats.collect()[0]
+    assert r.mime == "text/plain" and 32 <= r.first_byte < 127
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
