@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -104,14 +104,14 @@ def run_pipeline(
 
 
 def _sink(
-    result: PipelineResult, df: DataFrame, output_dir: str, name: str
-) -> dict[int, int]:
-    counts = st.bucket_counts(df)
+    result: PipelineResult, df: DataFrame, output_dir: str, name: str, total: int
+) -> None:
+    """Bucket-partitioned idempotent write; counts come from the caller's
+    single grouped-count pass, not a per-sink job."""
     catalog.write_table(
         df, output_dir, name, partition_cols=["bucket"], mode="overwrite_partitions"
     )
-    result.sink_counts[name] = result.sink_counts.get(name, 0) + sum(counts.values())
-    return counts
+    result.sink_counts[name] = result.sink_counts.get(name, 0) + total
 
 
 def _route_stage(
@@ -126,7 +126,30 @@ def _route_stage(
 ) -> None:
     with st.StageTimer() as t:
         enriched = enrich(parse_transcripts(bucketed, engine=parse_engine))
+        # ONE shuffle into bucket layout before the fan-out: every sink
+        # write is then narrow and bucket-aligned (<=1 file per bucket per
+        # sink — the parquet analog of Iceberg bucket(n, conv_id)). The
+        # bucket is the unit of parallelism, lineage, and resume.
+        enriched = enriched.repartition(n_buckets, "bucket")
         enriched.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # one grouped-count job covers parsed/error/reject lineage metrics
+        cat = (
+            F.when(F.col("log_type") == "access", F.lit("parsed_turns"))
+            .when(F.col("log_type") == "error", F.lit("error_turns"))
+            .otherwise(F.lit("rejects"))
+        )
+        cat_rows = (
+            enriched.groupBy("bucket", cat.alias("cat"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        counts: dict[str, dict[int, int]] = {}
+        for r in cat_rows:
+            counts.setdefault(r["cat"], {})[r["bucket"]] = r["cnt"]
+
+        def total(name: str) -> int:
+            return sum(counts.get(name, {}).values())
 
         access = enriched.where(F.col("log_type") == "access")
         errors = enriched.where(F.col("log_type") == "error").select(
@@ -136,30 +159,48 @@ def _route_stage(
         rejects = enriched.where(F.col("log_format").isNull()).select(
             "bucket", "conv_id", "turn_idx", "role", "tool", "ts", "text"
         )
-        parse_counts = _sink(result, access.drop("ts"), output_dir, "parsed_turns")
-        _sink(result, errors, output_dir, "error_turns")
-        _sink(result, rejects, output_dir, "rejects")
+        _sink(result, access.drop("ts"), output_dir, "parsed_turns", total("parsed_turns"))
+        _sink(result, errors, output_dir, "error_turns", total("error_turns"))
+        _sink(result, rejects, output_dir, "rejects", total("rejects"))
 
-        # per-row detectors only (global detectors run in the aggregate stage)
+        # per-row detectors only (global detectors run in the aggregate
+        # stage); bucket survives from the enriched frame's layout
         row_events = (
             sec.attack_events(enriched)
             .unionByName(sec.scan_events(enriched))
             .withColumn("bucket", _bucket("conv_id", n_buckets))
         )
+        row_events.persist(StorageLevel.MEMORY_AND_DISK)
+        sev_counts: dict[str, int] = {}
+        for r in row_events.groupBy("severity").agg(F.count("*").alias("cnt")).collect():
+            sev_counts[r["severity"]] = r["cnt"]
         for severity, name in ROW_SINKS_BY_SEVERITY.items():
             _sink(
                 result,
                 row_events.where(F.col("severity") == severity),
                 output_dir,
                 name,
+                sev_counts.get(severity, 0),
             )
+        row_events.unpersist()
         enriched.unpersist()
 
     st.append_state(
         spark,
         output_dir,
-        st.state_rows_from_counts(run_id, "route", parse_counts, t.wall_ms, pending),
+        st.state_rows_from_counts(
+            run_id, "route", counts.get("parsed_turns", {}), t.wall_ms, pending
+        ),
     )
+
+
+def _write_observed(df: DataFrame, output_dir: str, name: str) -> int:
+    """Full-overwrite write with the row count observed INSIDE the write job
+    (no separate count pass)."""
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    catalog.write_table(df, output_dir, name, mode="overwrite")
+    return int(obs.get["n"])
 
 
 def _aggregate_stage(
@@ -185,12 +226,12 @@ def _aggregate_stage(
         agg_events.persist(StorageLevel.MEMORY_AND_DISK)
         for severity, name in AGG_SINKS_BY_SEVERITY.items():
             df = agg_events.where(F.col("severity") == severity)
-            catalog.write_table(df, output_dir, name, mode="overwrite")
-            result.sink_counts[name] = df.count()
+            result.sink_counts[name] = _write_observed(df, output_dir, name)
 
         metrics = perf.performance_metrics(parsed)
-        catalog.write_table(metrics, output_dir, "performance_metrics", mode="overwrite")
-        result.sink_counts["performance_metrics"] = metrics.count()
+        result.sink_counts["performance_metrics"] = _write_observed(
+            metrics, output_dir, "performance_metrics"
+        )
 
         anomalies = an.response_time_zscore_anomalies(parsed).select(
             "conv_id", "turn_idx", "event_ts", "metric_name",
@@ -203,8 +244,9 @@ def _aggregate_stage(
                 "expected_value", "actual_value", "z_score",
             )
         )
-        catalog.write_table(anomalies, output_dir, "anomalies", mode="overwrite")
-        result.sink_counts["anomalies"] = anomalies.count()
+        result.sink_counts["anomalies"] = _write_observed(
+            anomalies, output_dir, "anomalies"
+        )
 
         # threat scores over the union of all routed events
         row_events = None
@@ -216,8 +258,9 @@ def _aggregate_stage(
         if row_events is not None:
             all_events = all_events.unionByName(row_events.drop("bucket"))
         scores = sec.ip_threat_scores(all_events)
-        catalog.write_table(scores, output_dir, "ip_threat_scores", mode="overwrite")
-        result.sink_counts["ip_threat_scores"] = scores.count()
+        result.sink_counts["ip_threat_scores"] = _write_observed(
+            scores, output_dir, "ip_threat_scores"
+        )
 
         st.throttle_alerts(
             spark, output_dir, all_events.where(F.col("severity") == "high"), run_id

@@ -1,0 +1,48 @@
+"""One scaling-bench trial: run the full pipeline at a given core count.
+
+Usage: python tools/scaling_worker.py <cores> <input_parquet> <output_dir>
+Prints one JSON line: {"cores": N, "turns": N, "wall_s": S, "turns_per_sec": T}
+
+Run as a fresh process per trial (a SparkSession's master is fixed for the
+process lifetime).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from log_analysis_system_spark.pipeline import run_pipeline  # noqa: E402
+from log_analysis_system_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cores, inp, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    transcripts = spark.read.parquet(inp)
+    n = transcripts.count()  # warms the JVM + file listing outside the timer
+
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_pipeline(spark, transcripts, out, run_id=f"scale{cores}", resume=False)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "cores": cores,
+        "turns": n,
+        "wall_s": round(wall, 2),
+        "turns_per_sec": round(n / wall, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
