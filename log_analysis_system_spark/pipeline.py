@@ -125,12 +125,15 @@ def _route_stage(
     n_buckets: int,
 ) -> None:
     with st.StageTimer() as t:
+        # ONE shuffle into bucket layout BEFORE the parse: raw turns are the
+        # narrowest the rows ever are (cheapest point to shuffle), parse
+        # parallelism is decoupled from the source file layout, and every
+        # downstream sink write is narrow and bucket-aligned (<=1 file per
+        # bucket per sink — the parquet analog of Iceberg
+        # bucket(n, conv_id)). The bucket is the unit of parallelism,
+        # lineage, and resume.
+        bucketed = bucketed.repartition(n_buckets, "bucket")
         enriched = enrich(parse_transcripts(bucketed, engine=parse_engine))
-        # ONE shuffle into bucket layout before the fan-out: every sink
-        # write is then narrow and bucket-aligned (<=1 file per bucket per
-        # sink — the parquet analog of Iceberg bucket(n, conv_id)). The
-        # bucket is the unit of parallelism, lineage, and resume.
-        enriched = enriched.repartition(n_buckets, "bucket")
         enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
         # one grouped-count job covers parsed/error/reject lineage metrics

@@ -45,6 +45,9 @@ _ACCESS = "log_type = 'access'"
 
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the events file is a single tiny parquet: spread the rows before the
+    # render+parse stages so their parallelism isn't capped by file layout
+    events = events.repartition(spark.sparkContext.defaultParallelism)
     return render_transcripts(events)
 
 

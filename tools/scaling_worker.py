@@ -10,6 +10,7 @@ process lifetime).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -22,14 +23,28 @@ from log_analysis_system_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     cores, inp, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    scratch = os.environ.get("SCALING_SCRATCH", "/dev/shm/spark_scaling")
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores,
+        # tmpfs scratch: this VM's disk is IOPS-throttled under concurrent
+        # writers (16-core runs measured 2-4x slower than 4-core on disk);
+        # cluster nodes have NVMe-backed shuffle dirs, tmpfs models that.
+        extra_conf={"spark.local.dir": f"{scratch}/local"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(inp)
-    n = transcripts.count()  # warms the JVM + file listing outside the timer
+    n = transcripts.count()
+
+    # Warm-up: a small end-to-end run spins up Python workers, compiles
+    # codegen, and initializes committers — steady-state throughput is the
+    # quantity that scales to a long-running cluster job, not cold start.
+    warm_out = f"{scratch}/warmup{cores}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_pipeline(spark, transcripts.limit(20000), warm_out,
+                 run_id="warmup", resume=False)
+    shutil.rmtree(warm_out, ignore_errors=True)
 
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
