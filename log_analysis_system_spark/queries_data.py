@@ -31,11 +31,14 @@ N_ANN_QUERIES = 20
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single tiny file: spread rows so signature/shingle compute parallelizes
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ------------------------------------------------------------------- dedup
