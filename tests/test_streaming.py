@@ -1,0 +1,94 @@
+"""Structured Streaming surface: file-source route fan-out + windowed agg.
+
+Feeds the stream in two file drops and checks (a) per-severity sinks fill
+incrementally with exactly-once totals matching a batch run, (b) resume
+from the same checkpoint ignores already-processed files, (c) the
+event-time window agg handles late rows under the watermark.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.queries_log import load_transcripts
+from log_analysis_system_spark.streaming.stream_pipeline import (
+    read_transcript_stream,
+    streaming_route,
+    streaming_traffic_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    yield d
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_streaming_route_matches_batch_counts(spark, stream_dirs):
+    t = load_transcripts(spark, SF)
+    half_a = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+
+    half_a.write.mode("append").parquet(stream_dirs["in"])
+    stream = read_transcript_stream(spark, stream_dirs["in"])
+    q = streaming_route(stream, stream_dirs["out"], stream_dirs["ckpt"])
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(f"{stream_dirs['out']}/parsed_turns").count()
+    assert n_first > 0
+
+    # second drop: only the new files are processed (checkpoint resume)
+    half_b.write.mode("append").parquet(stream_dirs["in"])
+    q2 = streaming_route(
+        read_transcript_stream(spark, stream_dirs["in"]),
+        stream_dirs["out"],
+        stream_dirs["ckpt"],
+    )
+    q2.awaitTermination(120)
+    n_total = spark.read.parquet(f"{stream_dirs['out']}/parsed_turns").count()
+
+    from log_analysis_system_spark.functions.parse import parse_transcripts
+
+    expected = (
+        parse_transcripts(t, engine="pandas")
+        .where(F.col("log_type") == "access")
+        .count()
+    )
+    assert n_total == expected > n_first
+
+
+def test_streaming_window_counts(spark, stream_dirs):
+    t = load_transcripts(spark, SF)
+    t.write.mode("append").parquet(stream_dirs["in"])
+    stream = read_transcript_stream(spark, stream_dirs["in"])
+    agg = streaming_traffic_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("traffic")
+        .outputMode("complete")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.n_turns)
+        for r in spark.sql("select * from traffic").collect()
+    }
+    expected = {
+        (r.window_start, r.n_turns)
+        for r in t.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("w.start").alias("window_start"), "n_turns")
+        .collect()
+    }
+    assert got == expected and got
