@@ -149,34 +149,43 @@ def _sql_parsed_struct(text: Column) -> Column:
 
 # ------------------------------------------------------------- pandas engine
 def _parse_batch(s: pd.Series) -> pd.DataFrame:
-    """Vectorized grok cascade over one Arrow batch (no per-row Python)."""
+    """Vectorized grok cascade over one Arrow batch (no per-row Python).
+
+    First-match-wins done literally: each regex runs only on the rows no
+    earlier format matched (the corpus is mostly combined_time, so this
+    cuts regex work ~2x vs extracting every format over every row), and
+    the common groups 0-6 come from whichever format matched (the access
+    regexes are start-anchored prefixes of each other)."""
     s = s.fillna("")
-    out = pd.DataFrame(index=s.index)
+    idx = s.index
+    out = pd.DataFrame(index=idx)
 
     ct = s.str.extract(RE_COMBINED_TIME)
-    cb = s.str.extract(RE_COMBINED)
-    cm = s.str.extract(RE_COMMON)
-    er = s.str.extract(RE_ERROR)
-
     is_ct = ct[0].notna()
-    is_cb = cb[0].notna() & ~is_ct
-    is_cm = cm[0].notna() & ~is_ct & ~is_cb
+    rest = s[~is_ct]
+    cb = rest.str.extract(RE_COMBINED).reindex(idx)
+    is_cb = cb[0].notna()
+    rest = rest[~is_cb.loc[rest.index]]
+    cm = rest.str.extract(RE_COMMON).reindex(idx)
+    is_cm = cm[0].notna()
+    rest = rest[~is_cm.loc[rest.index]]
+    er = rest.str.extract(RE_ERROR).reindex(idx)
+    is_err = er[0].notna()
     is_access = is_ct | is_cb | is_cm
-    is_err = er[0].notna() & ~is_access
 
-    fmt = pd.Series(pd.NA, index=s.index, dtype="object")
+    fmt = pd.Series(pd.NA, index=idx, dtype="object")
     fmt[is_ct] = "combined_time"
     fmt[is_cb] = "combined"
     fmt[is_cm] = "common"
     fmt[is_err] = "error"
     out["log_format"] = fmt
-    log_type = pd.Series(pd.NA, index=s.index, dtype="object")
+    log_type = pd.Series(pd.NA, index=idx, dtype="object")
     log_type[is_access] = "access"
     log_type[is_err] = "error"
     out["log_type"] = log_type
 
-    # groups 0-6 of the common regex hold on every access row (prefix regex)
-    g = cm
+    # groups 0-6 from whichever access regex matched (disjoint row sets)
+    g = ct.iloc[:, 0:7].combine_first(cb.iloc[:, 0:7]).combine_first(cm)
     out["ip_address"] = g[0].where(is_access)
 
     raw_ts = g[1].where(is_access, None).str.split(" ").str[0]
@@ -201,9 +210,9 @@ def _parse_batch(s: pd.Series) -> pd.DataFrame:
     out["bytes_sent"] = bytes_sent.where(is_access).astype("Int64")
 
     has_rich = is_ct | is_cb
-    # referer/user_agent come from the combined regex (prefix of c_t)
-    out["referer"] = cb[7].where(has_rich)
-    out["user_agent"] = cb[8].where(has_rich)
+    # referer/user_agent from whichever rich regex matched the row
+    out["referer"] = ct[7].combine_first(cb[7]).where(has_rich)
+    out["user_agent"] = ct[8].combine_first(cb[8]).where(has_rich)
 
     rt = pd.to_numeric(ct[9], errors="coerce")
     out["response_time"] = rt.fillna(0.0).where(is_access)

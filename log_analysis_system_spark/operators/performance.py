@@ -177,3 +177,21 @@ def logs_by_timeframe(parsed: DataFrame, start: str, end: str) -> DataFrame:
         .where(F.col("ts_parsed").between(F.lit(start), F.lit(end)))
         .orderBy("ts_parsed", "conv_id", "turn_idx")
     )
+
+
+def daily_summary(parsed: DataFrame) -> DataFrame:
+    """A15 + summary stats (notifier.py:298-307 ``send_daily_summary``):
+    per-day totals, exact distinct-IP count, mean response time, error rate.
+    ``countDistinct`` is exact per the reference; at 10^12 scale swap for
+    ``approx_count_distinct`` with documented tolerance."""
+    return (
+        access_rows(parsed)
+        .groupBy(F.to_date("ts_parsed").alias("day"))
+        .agg(
+            F.count("*").alias("total_logs"),
+            F.countDistinct("ip_address").alias("unique_ips"),
+            F.avg("response_time").alias("avg_response_time"),
+            F.avg((F.col("status") >= 400).cast("double")).alias("error_rate"),
+        )
+        .orderBy("day")
+    )

@@ -111,3 +111,37 @@ def salted_turn_counts(transcripts: DataFrame, salt_buckets: int = 16) -> DataFr
     return partial.groupBy("conv_id").agg(
         F.sum("pc").alias("n_turns"), F.sum("pt").alias("n_tool_turns")
     )
+
+
+def conversation_format_detection(
+    transcripts_parsed: DataFrame, sample_turns: int = 100
+) -> DataFrame:
+    """S3 (apache_parser.py:136-186 ``detect_format``), per conversation:
+    sample the first ``sample_turns`` turns (0-based ``turn_idx`` — the
+    file analog of "read up to 100 lines"), count matches per format, and
+    declare the majority format when it covers >= 50% of sampled turns,
+    else 'unknown'. Tie-break mirrors the reference's dict iteration order
+    (common, combined, combined_time, error)."""
+    sampled = transcripts_parsed.where(F.col("turn_idx") < sample_turns)
+    counts = sampled.groupBy("conv_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum((F.col("log_format") == "common").cast("long")).alias("c_common"),
+        F.sum((F.col("log_format") == "combined").cast("long")).alias("c_combined"),
+        F.sum((F.col("log_format") == "combined_time").cast("long")).alias("c_ct"),
+        F.sum((F.col("log_format") == "error").cast("long")).alias("c_error"),
+    )
+    c_cm, c_cb = F.col("c_common"), F.col("c_combined")
+    c_ct, c_er = F.col("c_ct"), F.col("c_error")
+    best_count = F.greatest(c_cm, c_cb, c_ct, c_er)
+    best = (
+        F.when((c_cm >= c_cb) & (c_cm >= c_ct) & (c_cm >= c_er), F.lit("common"))
+        .when((c_cb >= c_ct) & (c_cb >= c_er), F.lit("combined"))
+        .when(c_ct >= c_er, F.lit("combined_time"))
+        .otherwise(F.lit("error"))
+    )
+    detected = F.when(
+        (best_count > 0) & (best_count / F.col("n_sampled") >= 0.5), best
+    ).otherwise(F.lit("unknown"))
+    return counts.select(
+        "conv_id", detected.alias("detected_format"), "n_sampled"
+    ).orderBy("conv_id")

@@ -247,6 +247,15 @@ def q_endpoint_stats_timeframe(spark, sf_dir):
     return _r6(df, "avg_response_time")
 
 
+def q_daily_summary(spark, sf_dir):
+    df = perf.daily_summary(load_parsed(spark, sf_dir))
+    return _r6(df, "avg_response_time", "error_rate")
+
+
+def q_format_detection(spark, sf_dir):
+    return win.conversation_format_detection(load_parsed(spark, sf_dir))
+
+
 def q_security_events(spark, sf_dir):
     # five detectors fan out from one parse: persist so the scan+parse runs
     # once, not per union branch (same strategy as pipeline._route_stage)
@@ -464,6 +473,38 @@ FROM parsed
 WHERE {_ACCESS} AND ts_parsed BETWEEN TIMESTAMP '2024-01-02 00:00:00'
   AND TIMESTAMP '2024-01-05 00:00:00'
 GROUP BY endpoint""",
+    "daily_summary": P
+    + f"""
+SELECT CAST(ts_parsed AS DATE) AS day,
+       count(*) AS total_logs,
+       count(DISTINCT ip_address) AS unique_ips,
+       round(avg(response_time), 6) AS avg_response_time,
+       round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS error_rate
+FROM parsed WHERE {_ACCESS}
+GROUP BY 1 ORDER BY 1
+""",
+    "format_detection": P
+    + """
+, counts AS (
+  SELECT conv_id, count(*) AS n_sampled,
+         count(*) FILTER (log_format = 'common') AS c_common,
+         count(*) FILTER (log_format = 'combined') AS c_combined,
+         count(*) FILTER (log_format = 'combined_time') AS c_ct,
+         count(*) FILTER (log_format = 'error') AS c_error
+  FROM parsed WHERE turn_idx < 100 GROUP BY conv_id
+)
+SELECT conv_id,
+       CASE WHEN greatest(c_common, c_combined, c_ct, c_error) > 0
+             AND greatest(c_common, c_combined, c_ct, c_error)::DOUBLE / n_sampled >= 0.5
+            THEN CASE
+              WHEN c_common >= c_combined AND c_common >= c_ct AND c_common >= c_error THEN 'common'
+              WHEN c_combined >= c_ct AND c_combined >= c_error THEN 'combined'
+              WHEN c_ct >= c_error THEN 'combined_time'
+              ELSE 'error' END
+            ELSE 'unknown' END AS detected_format,
+       n_sampled
+FROM counts ORDER BY conv_id
+""",
     "security_events": PS + "SELECT * FROM sec_events",
     "brute_force": PS
     + "SELECT ip_address, description FROM sec_events "
@@ -644,6 +685,8 @@ QUERIES = {
     "error_rate_5min": q_error_rate_5min,
     "timeframe_logs": q_timeframe_logs,
     "endpoint_stats_timeframe": q_endpoint_stats_timeframe,
+    "daily_summary": q_daily_summary,
+    "format_detection": q_format_detection,
     "security_events": q_security_events,
     "brute_force": q_brute_force,
     "suspicious_ips": q_suspicious_ips,
