@@ -29,13 +29,24 @@ from ..config import (
 from .performance import access_rows, error_rate_by_interval, traffic_by_interval
 
 
+def _det_mean(col: str):
+    """Order-independent mean of a 3-decimal metric: exact decimal sum,
+    one float division (vs avg()'s order-dependent float accumulation)."""
+    return F.sum(F.col(col).cast("decimal(18,3)")).cast("double") / F.count(col)
+
+
 def response_time_zscore_anomalies(parsed: DataFrame) -> DataFrame:
     """W1 (detector.py:35-64): |z| > threshold outliers of response_time over
     all access rows, z computed against the GLOBAL population mean/std.
     Emits anomaly records shaped per detector.py:184-191."""
     rows = access_rows(parsed).where(F.col("response_time").isNotNull())
+    # mean via exact decimal SUM / count: response_time carries exactly 3
+    # decimals, so the sum is exact and the single float division is
+    # order-independent — a float-summed avg() lands on 6-dp rounding
+    # boundaries nondeterministically (observed: a mean 3e-11 from a
+    # boundary flipping with partition order)
     stats = rows.agg(
-        F.avg("response_time").alias("mu"),
+        _det_mean("response_time").alias("mu"),
         F.stddev_pop("response_time").alias("sigma"),
         F.count("*").alias("n"),
     )
@@ -69,7 +80,10 @@ def per_conv_zscore_anomalies(parsed: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         "response_time",
-        F.avg("response_time").over(w).alias("mu"),
+        (
+            F.sum(F.col("response_time").cast("decimal(18,3)")).over(w)
+            .cast("double") / F.count("*").over(w)
+        ).alias("mu"),  # deterministic mean — see response_time_zscore_anomalies
         F.stddev_pop("response_time").over(w).alias("sigma"),
         F.count("*").over(w).alias("n"),
     )

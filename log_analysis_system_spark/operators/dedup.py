@@ -283,3 +283,72 @@ def embedding_cosine_pairs(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup group assignment: every doc gets the minimum doc_id of its
+    connected component in the near-dup pair graph (singletons keep their
+    own id). The keep-list of a curation pipeline is then
+    ``canonical_id == doc_id``.
+
+    Distributed algorithm: iterative label propagation — each round every
+    node takes min(own label, neighbors' labels); converges in
+    O(diameter) <= O(log n) rounds for near-dup clusters (which are small
+    and dense). Each round is one join + one aggregation; lineage is
+    truncated with localCheckpoint so plans stay flat. At 10^12 docs this
+    is the standard large-scale connected-components shape (Kiveris et al.
+    "Connected Components in MapReduce"-style), bounded by the pair graph,
+    not the corpus.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("canonical_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("canonical_id").alias("n_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_label").alias("neighbor_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce(F.col("neighbor_label"), F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.canonical_id") != F.col("l.canonical_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")

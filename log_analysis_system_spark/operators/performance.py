@@ -23,6 +23,13 @@ from ..config import (
 )
 
 
+
+def det_mean(col: str):
+    """Order-independent mean of the 3-decimal response_time metric: exact
+    decimal sum + one float division. A float-accumulated avg() can land on
+    6-dp rounding boundaries nondeterministically (partition-order ulps)."""
+    return F.sum(F.col(col).cast("decimal(18,3)")).cast("double") / F.count(col)
+
 def access_rows(parsed: DataFrame) -> DataFrame:
     return parsed.where(F.col("log_type") == "access")
 
@@ -30,7 +37,7 @@ def access_rows(parsed: DataFrame) -> DataFrame:
 def overall_response_stats(parsed: DataFrame) -> DataFrame:
     """A1: global response-time stats (performance.py:47-53)."""
     return access_rows(parsed).agg(
-        F.avg("response_time").alias("mean"),
+        det_mean("response_time").alias("mean"),
         F.median("response_time").alias("median"),
         F.percentile("response_time", 0.95).alias("p95"),
         F.percentile("response_time", 0.99).alias("p99"),
@@ -46,7 +53,7 @@ def endpoint_stats(parsed: DataFrame) -> DataFrame:
         .groupBy("endpoint")
         .agg(
             F.count("*").alias("n_requests"),
-            F.avg("response_time").alias("mean_time"),
+            det_mean("response_time").alias("mean_time"),
             F.median("response_time").alias("median_time"),
             F.max("response_time").alias("max_time"),
             F.percentile("response_time", 0.95).alias("p95_time"),
@@ -160,7 +167,7 @@ def response_stats_by_endpoint_timeframe(
         .groupBy("endpoint")
         .agg(
             F.count("*").alias("request_count"),
-            F.avg("response_time").alias("avg_response_time"),
+            det_mean("response_time").alias("avg_response_time"),
             F.min("response_time").alias("min_response_time"),
             F.max("response_time").alias("max_response_time"),
             F.sum((F.col("status") >= 400).cast("long")).alias("error_count"),
@@ -190,7 +197,7 @@ def daily_summary(parsed: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("total_logs"),
             F.countDistinct("ip_address").alias("unique_ips"),
-            F.avg("response_time").alias("avg_response_time"),
+            det_mean("response_time").alias("avg_response_time"),
             F.avg((F.col("status") >= 400).cast("double")).alias("error_rate"),
         )
         .orderBy("day")

@@ -62,6 +62,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return dd.embedding_cosine_pairs(_emb(spark, sf_dir))
 
 
+def q_dedup_components(spark, sf_dir):
+    return dd.dedup_components(_docs(spark, sf_dir))
+
+
 # -------------------------------------------------------------- similarity
 def q_ann_topk_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
@@ -106,6 +110,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_components": q_dedup_components,
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_topk_cosine_np": q_ann_topk_cosine_np,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -187,6 +192,37 @@ ORDER BY canonical_id, dup_id
 """,
     "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
     "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
+    # connected components of the near-dup pair graph via recursive CTE:
+    # min reachable doc_id per doc (singletons map to themselves)
+    "dedup_components": "WITH RECURSIVE "
+    + _SH_CTE.strip()
+    + f"""
+, sizes AS (SELECT doc_id, len(ts) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= {dd.JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst
+  FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+ORDER BY doc_id
+""",
     "dedup_simhash": f"""
 WITH {_SH_CTE},
 sig AS (SELECT doc_id, {_SIMHASH_EXPR} AS sh FROM sh)

@@ -370,7 +370,7 @@ _ROLE_CLASS_CASE = "(CASE {} END)".format(
 
 _ENDPOINT_STATS_BODY = f"""
 SELECT endpoint, count(*) AS n_requests,
-       round(avg(response_time), 6) AS mean_time,
+       round((CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE) / count(response_time)), 6) AS mean_time,
        round(median(response_time), 6) AS median_time,
        max(response_time) AS max_time,
        round(quantile_cont(response_time, 0.95), 6) AS p95_time,
@@ -396,7 +396,7 @@ ORACLES: dict[str, str] = {
     "endpoint_stats": P + _ENDPOINT_STATS_BODY,
     "overall_response_stats": P
     + f"""
-SELECT round(avg(response_time), 6) AS mean,
+SELECT round((CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE) / count(response_time)), 6) AS mean,
        round(median(response_time), 6) AS median,
        round(quantile_cont(response_time, 0.95), 6) AS p95,
        round(quantile_cont(response_time, 0.99), 6) AS p99,
@@ -408,7 +408,7 @@ FROM parsed WHERE {_ACCESS}""",
     + f"""
 , es AS (
   SELECT endpoint, count(*) AS n,
-         round(avg(response_time), 6) AS mean_v,
+         round((CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE) / count(response_time)), 6) AS mean_v,
          round(quantile_cont(response_time, 0.95), 6) AS p95_v,
          round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS er_v
   FROM parsed WHERE {_ACCESS} GROUP BY endpoint HAVING count(*) >= 5
@@ -465,7 +465,7 @@ WHERE {_ACCESS} AND ts_parsed BETWEEN TIMESTAMP '2024-01-02 00:00:00'
     "endpoint_stats_timeframe": P
     + f"""
 SELECT endpoint, count(*) AS request_count,
-       round(avg(response_time), 6) AS avg_response_time,
+       round((CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE) / count(response_time)), 6) AS avg_response_time,
        min(response_time) AS min_response_time,
        max(response_time) AS max_response_time,
        sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS error_count
@@ -478,7 +478,7 @@ GROUP BY endpoint""",
 SELECT CAST(ts_parsed AS DATE) AS day,
        count(*) AS total_logs,
        count(DISTINCT ip_address) AS unique_ips,
-       round(avg(response_time), 6) AS avg_response_time,
+       round((CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE) / count(response_time)), 6) AS avg_response_time,
        round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS error_rate
 FROM parsed WHERE {_ACCESS}
 GROUP BY 1 ORDER BY 1
@@ -533,7 +533,9 @@ FROM sec_events WHERE ip_address IS NOT NULL GROUP BY ip_address""",
     + f"""
 , rt AS (SELECT conv_id, turn_idx, ts_parsed, response_time FROM parsed
          WHERE {_ACCESS} AND response_time IS NOT NULL),
-st AS (SELECT avg(response_time) AS mu, stddev_pop(response_time) AS sigma,
+st AS (SELECT CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE)
+                / count(response_time) AS mu,
+              stddev_pop(response_time) AS sigma,
               count(*) AS n FROM rt)
 SELECT conv_id, turn_idx, ts_parsed AS event_ts,
        'response_time' AS metric_name,
@@ -548,7 +550,9 @@ WHERE n >= 10
     + f"""
 , rt AS (
   SELECT conv_id, turn_idx, response_time,
-         avg(response_time) OVER (PARTITION BY conv_id) AS mu,
+         CAST(sum(CAST(response_time AS DECIMAL(18,3)))
+                OVER (PARTITION BY conv_id) AS DOUBLE)
+           / count(*) OVER (PARTITION BY conv_id) AS mu,
          stddev_pop(response_time) OVER (PARTITION BY conv_id) AS sigma,
          count(*) OVER (PARTITION BY conv_id) AS n
   FROM parsed WHERE {_ACCESS} AND response_time IS NOT NULL)

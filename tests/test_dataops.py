@@ -157,3 +157,21 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+
+def test_dedup_components_chain(spark):
+    # 0-1 and 1-2 near-dup (chain): all three collapse to canonical 0,
+    # even though 0 and 2 are NOT a direct pair; 3 is a singleton.
+    # 12 tokens; mid differs from base in the last 2, end differs from mid
+    # in the first 2 -> jac(base,mid)=jac(mid,end)=8/12, jac(base,end)=6/14
+    base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    mid = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 x11 x12"
+    end = "y1 y2 t3 t4 t5 t6 t7 t8 t9 t10 x11 x12"
+    other = "completely different content with nothing shared at all here"
+    df = docs_df(spark, [base, mid, end, other])
+    pairs = dd.ngram_jaccard_pairs(df, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (1, 2) in got and (0, 2) not in got
+    comp = {r.doc_id: r.canonical_id
+            for r in dd.dedup_components(df, pairs=pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3}
