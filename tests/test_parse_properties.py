@@ -1,0 +1,111 @@
+"""Property-based parser tests (hypothesis): for arbitrary generated log
+lines — valid in any of the four formats, or garbage — the two parse
+engines agree field-for-field, and valid lines round-trip their source
+fields exactly.
+
+Strategy note: hypothesis drives the LINE CONTENT; Spark calls are batched
+once per test (not per example) by collecting the generated corpus first.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from log_analysis_system_spark.functions.parse import PARSED_FIELDS, parse_transcripts
+
+IP = st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t)))
+METHOD = st.sampled_from(["GET", "POST", "PUT", "DELETE", "HEAD"])
+ENDPOINT = st.from_regex(r"/[a-z0-9/_.-]{0,30}", fullmatch=True)
+STATUS = st.integers(100, 599)
+NBYTES = st.one_of(st.integers(0, 10**9).map(str), st.just("-"))
+TS = st.tuples(
+    st.integers(1, 28), st.sampled_from(
+        ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]),
+    st.integers(1990, 2030), st.integers(0, 23), st.integers(0, 59),
+    st.integers(0, 59),
+).map(lambda t: f"{t[0]:02d}/{t[1]}/{t[2]}:{t[3]:02d}:{t[4]:02d}:{t[5]:02d} -0700")
+QUOTED = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters='"\n\r', min_codepoint=32
+    ),
+    max_size=20,
+)
+RT = st.floats(0, 100, allow_nan=False).map(lambda f: f"{f:.3f}")
+
+line_common = st.tuples(IP, TS, METHOD, ENDPOINT, STATUS, NBYTES).map(
+    lambda t: f'{t[0]} - - [{t[1]}] "{t[2]} {t[3]} HTTP/1.1" {t[4]} {t[5]}'
+)
+line_combined = st.tuples(line_common, QUOTED, QUOTED).map(
+    lambda t: f'{t[0]} "{t[1]}" "{t[2]}"'
+)
+line_ct = st.tuples(line_combined, RT).map(lambda t: f"{t[0]} {t[1]}")
+# unfiltered: if random text happens to match a format, both engines must
+# still agree on it — that's the property, not a nuisance
+garbage = st.text(max_size=60)
+
+ANY_LINE = st.one_of(line_common, line_combined, line_ct, garbage)
+
+
+def _rows(spark, lines):
+    df = spark.createDataFrame(
+        [("c", i, "user", ln, None, None) for i, ln in enumerate(lines)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {}
+    for engine in ("sql", "pandas"):
+        parsed = parse_transcripts(df, engine=engine)
+        out[engine] = {
+            r["turn_idx"]: tuple(r[f] for f in PARSED_FIELDS)
+            for r in parsed.collect()
+        }
+    return out
+
+
+def _eq(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return a == b
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(ANY_LINE, min_size=1, max_size=30))
+def test_engines_agree_on_arbitrary_lines(spark, lines):
+    rows = _rows(spark, lines)
+    for i in rows["sql"]:
+        sql_row, pd_row = rows["sql"][i], rows["pandas"][i]
+        assert all(_eq(a, b) for a, b in zip(sql_row, pd_row)), (
+            f"engine mismatch on line {lines[i]!r}:\n"
+            f"  sql    = {sql_row}\n  pandas = {pd_row}"
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(IP, TS, METHOD, ENDPOINT, STATUS, NBYTES),
+                min_size=1, max_size=20))
+def test_common_fields_round_trip(spark, specs):
+    lines = [
+        f'{ip} - - [{ts}] "{m} {ep} HTTP/1.1" {status} {nb}'
+        for ip, ts, m, ep, status, nb in specs
+    ]
+    df = spark.createDataFrame(
+        [("c", i, "user", ln, None, None) for i, ln in enumerate(lines)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        r["turn_idx"]: r
+        for r in parse_transcripts(df, engine="pandas").collect()
+    }
+    for i, (ip, ts, m, ep, status, nb) in enumerate(specs):
+        r = got[i]
+        assert r["log_format"] == "common" and r["log_type"] == "access"
+        assert r["ip_address"] == ip
+        assert r["method"] == m and r["endpoint"] == ep
+        assert r["status"] == status
+        assert r["bytes_sent"] == (0 if nb == "-" else int(nb))
+        assert r["response_time"] == 0.0  # absent -> 0.0, not NULL
+        assert r["ts_parsed"] is not None  # tz token dropped, still parses
