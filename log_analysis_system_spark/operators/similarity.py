@@ -261,3 +261,144 @@ def ann_lsh_bucketed(
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+IVF_LISTS = 16
+IVF_NPROBE = 4
+IVF_ITERATIONS = 3
+
+
+def _centroid_matrix(centroids) -> np.ndarray:
+    return np.array([c for _, c in centroids], dtype=np.float64)
+
+
+def _assign_udf(cent_mat: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (argmin over squared L2).
+    The centroid matrix rides in the task closure — k x dim doubles, tiny.
+    (A 16-centroid x 64-dim literal expression tree took Catalyst minutes
+    to analyze; the NumPy path plans instantly and is the shape that
+    scales.)"""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            d = ((mat[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "list_id": d.argmin(axis=1)}
+            )
+
+    return run
+
+
+_ASSIGN_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("list_id", IntegerType())]
+)
+
+
+def ivf_assignments(
+    emb: DataFrame, k: int = IVF_LISTS, iterations: int = IVF_ITERATIONS
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means with md5-seeded
+    init (the k vectors with the smallest md5-hash of their id — stable
+    across runs/machines, no RNG state), fixed iteration count.
+
+    Returns (assignments df [vec_id, list_id], centroids as driver list).
+    Each iteration: one Arrow-batched argmin pass + one posexplode/groupBy
+    mean — the standard distributed Lloyd shape; at 10^12 rows train on a
+    sampled subset and only the final assignment pass touches the corpus.
+    """
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = (
+        v.withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+            ),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+
+    def assign(cents) -> DataFrame:
+        return v.mapInPandas(_assign_udf(_centroid_matrix(cents)), _ASSIGN_SCHEMA)
+
+    for _ in range(iterations):
+        assigned = v.join(assign(centroids), "vec_id")
+        means = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("list_id", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        new_centroids = {r["list_id"]: list(r["centroid"]) for r in means}
+        centroids = [(i, new_centroids.get(i, c)) for i, c in centroids]
+    return assign(centroids), centroids
+
+
+def ann_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``lists`` inverted lists;
+    each query probes its ``nprobe`` nearest centroids and scores only
+    those lists' vectors exactly. Approximate (no SQL oracle); tests check
+    recall + determinism vs brute force. At scale the corpus is
+    partitioned BY list_id (Iceberg partition transform), so a probe
+    reads ~nprobe/lists of the data."""
+    assignments, centroids = ivf_assignments(emb, k=lists)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).join(
+        assignments.select(F.col("vec_id").alias("neighbor_id"), "list_id"),
+        "neighbor_id",
+    )
+
+    # probe lists driver-side: queries are few; centroid distances are a
+    # k x dim numpy op per query row
+    cent_mat = _centroid_matrix(centroids)
+    qrows = queries.select("vec_id", "embedding").collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        d = ((cent_mat - qv[None, :]) ** 2).sum(axis=1)
+        for li in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((r["vec_id"], list(map(float, qv)), int(li)))
+    probed = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, list_id int"
+    )
+
+    cand = c.join(
+        F.broadcast(probed),
+        (c["list_id"] == probed["list_id"])
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "qv", "neighbor_id", "cv")
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot / (_norm_vec(F.col("qv")) * _norm_vec(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

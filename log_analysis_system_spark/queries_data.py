@@ -82,6 +82,11 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return sim.ann_lsh_bucketed(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.ann_ivf(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
+
+
 # ------------------------------------------------------------ text analysis
 def q_text_token_stats(spark, sf_dir):
     return ts.token_stats(_docs(spark, sf_dir))
@@ -114,6 +119,7 @@ QUERIES = {
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_topk_cosine_np": q_ann_topk_cosine_np,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf": q_ann_ivf,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,

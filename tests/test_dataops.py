@@ -175,3 +175,24 @@ def test_dedup_components_chain(spark):
     comp = {r.doc_id: r.canonical_id
             for r in dd.dedup_components(df, pairs=pairs).collect()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_ann_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_ivf(emb, q, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} collapsed"
+    # determinism: identical output across runs (md5-seeded init, no RNG)
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_ivf(emb, q, k=3).collect()
+    }
+    assert approx == again
