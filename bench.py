@@ -9,7 +9,7 @@ Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] cores (default all)
   BENCH_QUERIES       comma-separated subset (default: headline set)
-  BENCH_REPEAT        timed repetitions per query (default 1)
+  BENCH_REPEAT        timed repetitions per query (default 2, best-of)
 
 Timing protocol: each query is built lazily, then forced with the noop sink
 (`format("noop")`) so we measure scan + compute + shuffle, not collect or
@@ -56,7 +56,9 @@ def _force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    # best-of-2 default: this box shows noisy-neighbor windows (identical
+    # runs measured 2-10x apart); the floor is the reproducible number
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     import __spark_entry__ as entrymod

@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.texthash import minhash_signature, shingles, simhash32
+from ..functions.texthash import (
+    minhash_signature,
+    shingle_hashes,
+    shingles,
+    simhash32,
+)
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_BANDS = 12
@@ -127,9 +132,18 @@ def minhash_lsh_pairs(
     per-bucket blocks; AQE skew-split handles pathological buckets.
     """
     n_hashes = bands * rows
-    sh = _shingle_docs(docs, k).where(F.size("ts") > 0)
+    # Persisted: the shingle frame feeds the signature AND both sides of
+    # the verify join below — one tokenize/shingle pass instead of three.
+    # MEMORY_AND_DISK so a 10^12-row corpus spills instead of OOMing;
+    # the ContextCleaner reclaims it once the query's RDDs are released.
+    sh = _shingle_docs(docs, k).where(F.size("ts") > 0).persist()
+    # Two projections on purpose: hash each shingle string once, then take
+    # the 36 seeded minima over the 8-byte hashes (HOFs are interpreted and
+    # inline their argument subtree — see texthash.shingle_hashes).
     sig = sh.select(
-        "doc_id", "ts", minhash_signature(F.col("ts"), n_hashes).alias("mh")
+        "doc_id", shingle_hashes(F.col("ts")).alias("hs")
+    ).select(
+        "doc_id", minhash_signature(F.col("hs"), n_hashes).alias("mh")
     )
     # band key: xxhash64 over the band's row slice (array equality -> hash).
     # Shingle arrays are NOT carried through the x`bands` explode — the

@@ -115,8 +115,14 @@ def fingerprints(docs: DataFrame, k: int = 3, n: int = 4) -> DataFrame:
     per doc (a fixed-size, order-insensitive content signature usable for
     near-dup blocking and set-similarity estimation at scale)."""
     sh = shingles(F.col("text"), k)
-    hs = F.array_sort(F.transform(sh, md5_hash60))
+    # Two projections: materialize the sorted hash array once, then pick n
+    # elements — referencing the array expression n times would re-run the
+    # shingle+md5 pass per fingerprint column (no CSE across projections
+    # of non-cheap exprs referenced once; inlined when referenced n times).
+    hashed = docs.select(
+        "doc_id", F.array_sort(F.transform(sh, md5_hash60)).alias("hs")
+    )
     cols = [
-        F.get(hs, i).alias(f"fp{i}") for i in range(n)  # null when < n shingles
+        F.get("hs", i).alias(f"fp{i}") for i in range(n)  # null when < n shingles
     ]
-    return docs.select("doc_id", *cols).orderBy("doc_id")
+    return hashed.select("doc_id", *cols).orderBy("doc_id")

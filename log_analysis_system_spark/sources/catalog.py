@@ -65,8 +65,18 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
 def table_exists(spark: SparkSession, base_dir: str, name: str) -> bool:
     if table_format() == "iceberg":
         return spark.catalog.tableExists(f"graft.{name}")
-    try:
-        spark.read.parquet(f"{base_dir}/{name}").schema
-        return True
-    except Exception:  # noqa: BLE001
+    # Hadoop-FS existence probe (works for file://, hdfs://, s3a://...)
+    # instead of read.parquet + catch: the JVM logs the caught
+    # AnalysisException at ERROR level, which reads as a failure in logs.
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{name}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return False
+    # An empty/metadata-only directory is not a readable table yet
+    # (parquet schema inference would fail on it).
+    for status in fs.listStatus(path):
+        leaf = status.getPath().getName()
+        if not leaf.startswith("_") and not leaf.startswith("."):
+            return True
+    return False
