@@ -28,6 +28,7 @@ engineering the north rule demands:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
@@ -162,10 +163,6 @@ def _route_stage(
         rejects = enriched.where(F.col("log_format").isNull()).select(
             "bucket", "conv_id", "turn_idx", "role", "tool", "ts", "text"
         )
-        _sink(result, access.drop("ts"), output_dir, "parsed_turns", total("parsed_turns"))
-        _sink(result, errors, output_dir, "error_turns", total("error_turns"))
-        _sink(result, rejects, output_dir, "rejects", total("rejects"))
-
         # per-row detectors only (global detectors run in the aggregate
         # stage); bucket survives from the enriched frame's layout
         row_events = (
@@ -177,14 +174,33 @@ def _route_stage(
         sev_counts: dict[str, int] = {}
         for r in row_events.groupBy("severity").agg(F.count("*").alias("cnt")).collect():
             sev_counts[r["severity"]] = r["cnt"]
-        for severity, name in ROW_SINKS_BY_SEVERITY.items():
-            _sink(
-                result,
-                row_events.where(F.col("severity") == severity),
-                output_dir,
-                name,
-                sev_counts.get(severity, 0),
-            )
+
+        # Every sink below reads only the two persisted frames (both fully
+        # materialized by the count jobs above), so the six writes are
+        # independent Spark actions — submit them concurrently and let the
+        # scheduler interleave; each writes a distinct sink_counts key.
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futures = [
+                pool.submit(_sink, result, access.drop("ts"), output_dir,
+                            "parsed_turns", total("parsed_turns")),
+                pool.submit(_sink, result, errors, output_dir,
+                            "error_turns", total("error_turns")),
+                pool.submit(_sink, result, rejects, output_dir,
+                            "rejects", total("rejects")),
+            ]
+            futures += [
+                pool.submit(
+                    _sink,
+                    result,
+                    row_events.where(F.col("severity") == severity),
+                    output_dir,
+                    name,
+                    sev_counts.get(severity, 0),
+                )
+                for severity, name in ROW_SINKS_BY_SEVERITY.items()
+            ]
+            for f in futures:
+                f.result()  # re-raises the first failure
         row_events.unpersist()
         enriched.unpersist()
 
@@ -227,15 +243,8 @@ def _aggregate_stage(
             )
         )
         agg_events.persist(StorageLevel.MEMORY_AND_DISK)
-        for severity, name in AGG_SINKS_BY_SEVERITY.items():
-            df = agg_events.where(F.col("severity") == severity)
-            result.sink_counts[name] = _write_observed(df, output_dir, name)
 
         metrics = perf.performance_metrics(parsed)
-        result.sink_counts["performance_metrics"] = _write_observed(
-            metrics, output_dir, "performance_metrics"
-        )
-
         anomalies = an.response_time_zscore_anomalies(parsed).select(
             "conv_id", "turn_idx", "event_ts", "metric_name",
             "expected_value", "actual_value", "z_score",
@@ -247,9 +256,28 @@ def _aggregate_stage(
                 "expected_value", "actual_value", "z_score",
             )
         )
-        result.sink_counts["anomalies"] = _write_observed(
-            anomalies, output_dir, "anomalies"
-        )
+
+        # Five independent full-overwrite sinks off the two persisted
+        # frames; concurrent submission lets the scheduler overlap them
+        # (cache blocks are computed once under Spark's block-level locks,
+        # whichever job touches a partition first).
+        def _observed_to(name: str, df: DataFrame) -> None:
+            result.sink_counts[name] = _write_observed(df, output_dir, name)
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futures = [
+                pool.submit(
+                    _observed_to, name,
+                    agg_events.where(F.col("severity") == severity),
+                )
+                for severity, name in AGG_SINKS_BY_SEVERITY.items()
+            ]
+            futures.append(
+                pool.submit(_observed_to, "performance_metrics", metrics)
+            )
+            futures.append(pool.submit(_observed_to, "anomalies", anomalies))
+            for f in futures:
+                f.result()
 
         # threat scores over the union of all routed events
         row_events = None
