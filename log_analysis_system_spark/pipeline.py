@@ -28,6 +28,7 @@ engineering the north rule demands:
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -66,6 +67,16 @@ class PipelineResult:
 
 def _bucket(col: str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _sink_concurrency() -> int:
+    """How many independent sink-write jobs to have in flight at once.
+
+    Concurrent submission overlaps job-scheduling + commit latency of the
+    fan-out writes (all of which read only persisted frames). Tunable via
+    SPARK_GRAFT_SINK_CONCURRENCY; 1 = fully sequential writes.
+    """
+    return max(1, int(os.environ.get("SPARK_GRAFT_SINK_CONCURRENCY", "6")))
 
 
 def run_pipeline(
@@ -179,7 +190,7 @@ def _route_stage(
         # materialized by the count jobs above), so the six writes are
         # independent Spark actions — submit them concurrently and let the
         # scheduler interleave; each writes a distinct sink_counts key.
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=_sink_concurrency()) as pool:
             futures = [
                 pool.submit(_sink, result, access.drop("ts"), output_dir,
                             "parsed_turns", total("parsed_turns")),
@@ -264,7 +275,7 @@ def _aggregate_stage(
         def _observed_to(name: str, df: DataFrame) -> None:
             result.sink_counts[name] = _write_observed(df, output_dir, name)
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=min(5, _sink_concurrency())) as pool:
             futures = [
                 pool.submit(
                     _observed_to, name,
