@@ -299,6 +299,68 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    dim: int = 64,
+    planes: int = 4,
+    tables: int = 16,
+) -> DataFrame:
+    """Embedding near-dup pairs with LSH-bucketed candidates — the 10^12-row
+    path for :func:`embedding_cosine_pairs` (which is an all-pairs join).
+
+    Candidates = vector pairs sharing a random-hyperplane sign bucket in
+    any table (same deterministic hyperplanes as
+    ``similarity.ann_lsh_bucketed``); every candidate is verified with the
+    exact cosine, so output pairs are always a SUBSET of the exact
+    operator's (zero false positives). Recall per true pair at angle θ is
+    ``1 - (1 - (1 - θ/π)^planes)^tables``: near-duplicate regimes
+    (cosine >= 0.9, θ <= 26°) give recall ~1-4e-6 with the 4x16 default;
+    the synthetic corpus's weak pairs (cosine ~0.46, θ ~62°) sit at ~0.96
+    — tests assert subset + a recall floor, not equality. At scale the
+    bucket self-join touches ~n²/2^planes per table instead of n².
+    """
+    from .similarity import lsh_sig_exprs, lsh_signature_udf_planes
+
+    hps = lsh_signature_udf_planes(dim, planes, tables)
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("sigs", lsh_sig_exprs(F.col("v"), hps, planes))
+    e = v.select("vec_id", "v", F.explode("sigs").alias("s")).select(
+        "vec_id", "v", "s.tbl", "s.sig"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.v").alias("va"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        cand.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def dedup_components(
     docs: DataFrame,
     pairs: DataFrame | None = None,

@@ -181,6 +181,29 @@ def lsh_signature_udf_planes(dim: int, planes: int = LSH_PLANES,
     return [_hyperplanes(dim, planes, t) for t in range(tables)]
 
 
+def lsh_sig_exprs(vcol, hps: list[np.ndarray], planes: int):
+    """``array<struct<tbl:int, sig:int>>`` of per-table sign signatures:
+    bit p of ``sig`` is set when the vector's projection onto hyperplane p
+    of that table is >= 0. Shared by the ANN query path and the
+    embedding-dedup candidate generator (``dedup.embedding_cosine_pairs_lsh``)."""
+    out = []
+    for t, hp in enumerate(hps):
+        bits = F.lit(0)
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vcol,
+                    F.array(*[F.lit(float(x)) for x in hp[p]]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bits = bits + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out.append(F.struct(F.lit(t).alias("tbl"), bits.alias("sig")))
+    return F.array(*out)
+
+
 def ann_lsh_bucketed(
     emb: DataFrame,
     queries: DataFrame,
@@ -201,24 +224,7 @@ def ann_lsh_bucketed(
     hps = lsh_signature_udf_planes(dim, planes, tables)
 
     def sig_exprs(vcol):
-        out = []
-        for t, hp in enumerate(hps):
-            bits = F.lit(0)
-            for p in range(planes):
-                proj = F.aggregate(
-                    F.zip_with(
-                        vcol,
-                        F.array(*[F.lit(float(x)) for x in hp[p]]),
-                        lambda x, w: x * w,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                bits = bits + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            out.append(
-                F.struct(F.lit(t).alias("tbl"), bits.alias("sig"))
-            )
-        return F.array(*out)
+        return lsh_sig_exprs(vcol, hps, planes)
 
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -62,6 +62,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return dd.embedding_cosine_pairs(_emb(spark, sf_dir))
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    # LSH-bucketed candidates + exact-cosine verify: the 10^12-row path.
+    # Probabilistic recall (subset of the exact operator) -> no oracle
+    # entry; tests assert subset + recall floor vs exact.
+    return dd.embedding_cosine_pairs_lsh(_emb(spark, sf_dir))
+
+
 def q_dedup_components(spark, sf_dir):
     return dd.dedup_components(_docs(spark, sf_dir))
 
@@ -115,6 +122,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_components": q_dedup_components,
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_topk_cosine_np": q_ann_topk_cosine_np,

@@ -74,6 +74,21 @@ def test_embedding_cosine_pairs(spark):
     assert rows[0].cosine == pytest.approx(0.9939, abs=1e-4)
 
 
+def test_embedding_lsh_subset_and_recall(spark):
+    """LSH-candidate dedup emits only verified pairs (subset of exact) and
+    recalls nearly all of them even in the corpus's weak-pair regime
+    (cosine ~0.46, theta ~62 deg -> predicted recall ~0.96 at 4x16;
+    measured 0.929 sf0.01 / 0.958 sf0.1)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r.id_a, r.id_b, r.cosine)
+             for r in dd.embedding_cosine_pairs(emb).collect()}
+    lsh = {(r.id_a, r.id_b, r.cosine)
+           for r in dd.embedding_cosine_pairs_lsh(emb).collect()}
+    assert exact, "testdata should contain planted embedding near-dups"
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.85
+
+
 # -------------------------------------------------------------- similarity
 def test_brute_force_topk_sql_vs_numpy(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
