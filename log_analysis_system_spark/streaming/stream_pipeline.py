@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -109,6 +110,78 @@ def streaming_route(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_conversation_state(
+    stream: DataFrame,
+    idle_timeout_ms: int = 60_000,
+):
+    """Custom stateful operator: per-conversation running totals maintained
+    across micro-batches with ``applyInPandasWithState``.
+
+    State per ``conv_id``: turn count, max ``turn_idx`` seen, last event
+    time. Each micro-batch emits the UPDATED totals for every conversation
+    that received turns (update output mode); a conversation idle past
+    ``idle_timeout_ms`` of processing time has its state dropped (bounded
+    state for a 10^12-turn feed: state size tracks *active* conversations,
+    not history). This is the streaming analog of the batch
+    ``turns_per_conversation`` aggregate — cross-batch equivalence is
+    tested in ``tests/test_streaming.py``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_turns", LongType()),
+            StructField("max_turn_idx", IntegerType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_turns", LongType()),
+            StructField("max_turn_idx", IntegerType()),
+            StructField("last_ts_epoch_us", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, mx, last_us = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                ts_max = pdf["ts"].max()
+                if pd.notna(ts_max):
+                    last_us = max(last_us, int(ts_max.value // 1000))
+        state.update((n, mx, last_us))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n],
+                "max_turn_idx": [mx],
+                "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
+            }
+        )
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from log_analysis_system_spark.queries_log import load_transcripts
 from log_analysis_system_spark.streaming.stream_pipeline import (
     read_transcript_stream,
+    streaming_conversation_state,
     streaming_route,
     streaming_traffic_counts,
 )
@@ -89,6 +90,50 @@ def test_streaming_window_counts(spark, stream_dirs):
         for r in t.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_turns"))
         .select(F.col("w.start").alias("window_start"), "n_turns")
+        .collect()
+    }
+    assert got == expected and got
+
+
+def test_streaming_conversation_state_accumulates_across_batches(
+    spark, stream_dirs
+):
+    """applyInPandasWithState keeps per-conv state across micro-batches:
+    feeding a conversation's turns split over two file drops must yield the
+    same final totals as the one-shot batch aggregate."""
+    t = load_transcripts(spark, SF)
+    early = t.where(F.col("turn_idx") < 3)
+    late = t.where(F.col("turn_idx") >= 3)
+    early.write.mode("append").parquet(stream_dirs["in"])
+    late.write.mode("append").parquet(stream_dirs["in"])
+
+    # maxFilesPerTrigger=1 forces multiple micro-batches, so most convs
+    # are updated across batches and state must carry over.
+    stream = read_transcript_stream(spark, stream_dirs["in"], max_files_per_trigger=1)
+    q = (
+        streaming_conversation_state(stream)
+        .writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a conv each batch it changes: keep the row with
+    # the highest n_turns per conv (the final state)
+    got = {}
+    for r in spark.sql("select * from conv_state").collect():
+        if r.conv_id not in got or r.n_turns > got[r.conv_id][0]:
+            got[r.conv_id] = (r.n_turns, r.max_turn_idx, r.last_ts)
+    expected = {
+        r.conv_id: (r.n_turns, r.max_turn_idx, r.last_ts)
+        for r in t.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+            F.max("ts").alias("last_ts"),
+        )
         .collect()
     }
     assert got == expected and got

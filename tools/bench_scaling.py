@@ -47,6 +47,12 @@ def main() -> None:
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
     repeat = int(os.environ.get("SCALING_REPEAT", "2"))
+    # Per-level overrides: the 1-core trials are stable on this host while
+    # multi-core trials swing 2x+ with vCPU-starvation windows — sampling
+    # the contended level more often raises the odds its best-of catches a
+    # clean window (the min is the estimator either way).
+    rep_small = int(os.environ.get("SCALING_REPEAT_SMALL", str(repeat)))
+    rep_big = int(os.environ.get("SCALING_REPEAT_BIG", str(repeat)))
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="scaling_bench_", dir=base)
     inp = os.path.join(work, "transcripts")
@@ -56,8 +62,10 @@ def main() -> None:
     # shows noisy-neighbor windows: identical 16-core runs measured at 85 s
     # and 276 s hours apart); best-of-N per config.
     trials: dict[int, list[dict]] = {small: [], big: []}
-    for i in range(repeat):
-        for cores in (small, big):
+    for i in range(max(rep_small, rep_big)):
+        for cores, rep in ((small, rep_small), (big, rep_big)):
+            if i >= rep:
+                continue
             out = os.path.join(work, f"out{cores}")
             r = run_once(cores, inp, out)
             shutil.rmtree(out, ignore_errors=True)  # tmpfs space
