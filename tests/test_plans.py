@@ -1,0 +1,113 @@
+"""Plan discipline over the WHOLE query registry.
+
+Every registered query's physical plan is checked for the properties the
+100 TB design depends on (SURVEY §4): no accidental cartesian products,
+nested-loop joins only where a tiny frame is deliberately broadcast
+(scalar thresholds, the ANN query set, pair scorers), and predicate
+pushdown reaching the parquet scan where a filter exists. Catches the
+classic silent regression where an innocent-looking change (a cast on a
+join key, a lost broadcast hint) turns a bucket join into an all-pairs
+product that only explodes at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# Deliberate broadcast-nested-loop joins: a small/1-row build side joined
+# without an equality (scalar quantile thresholds, global stats, the ANN
+# query set, verified pair scorers). Fine at any scale BECAUSE the build
+# side is bounded; everything else must be hash/sort-merge/broadcast-hash.
+BNLJ_ALLOWED = {
+    "ann_topk_cosine",        # broadcast query set x corpus scan
+    "dedup_embedding_cosine", # pair scorer: vec_id < vec_id, one side broadcast
+    "peak_traffic",           # traffic > its own 0.95-quantile scalar
+    "zscore_anomalies",       # global mu/sigma scalar join
+    "per_conv_zscore",        # global fallback stats scalar join
+    "iqr_anomalies",          # q25/q75 scalar join
+    "rolling_traffic_anomalies",  # global-mean fallback scalar join
+    "daily_summary",          # single-row summary assembled from scalars
+    "overall_response_stats",
+    "overall_error_rate",
+}
+
+CARTESIAN = re.compile(r"CartesianProduct")
+BNLJ = re.compile(r"BroadcastNestedLoopJoin")
+
+
+def _plan(spark, name, fn):
+    df = fn(spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return entry.queries()
+
+
+def test_no_cartesian_products_anywhere(spark, registry):
+    offenders = {}
+    for name, fn in registry.items():
+        plan = _plan(spark, name, fn)
+        if CARTESIAN.search(plan):
+            offenders[name] = plan.splitlines()[0]
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
+def test_nested_loop_joins_only_where_deliberate(spark, registry):
+    offenders = []
+    for name, fn in registry.items():
+        if name in BNLJ_ALLOWED:
+            continue
+        plan = _plan(spark, name, fn)
+        if BNLJ.search(plan):
+            offenders.append(name)
+    assert not offenders, (
+        f"unexpected BroadcastNestedLoopJoin in: {offenders} — "
+        "either a join lost its equality predicate or the allowlist is stale"
+    )
+
+
+def test_dim_enrichment_uses_broadcast_hash_join(spark, registry):
+    for name in ("enriched_status_counts", "enriched_role_counts"):
+        plan = _plan(spark, name, registry[name])
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        assert not BNLJ.search(plan)
+
+
+def test_parquet_scan_pushdown_where_possible(spark, registry):
+    """The ANN query-set restriction (vec_id < N) reads a raw parquet
+    column, so it must reach the scan as a pushed filter. (Most log-side
+    queries filter parse-DERIVED columns — pushdown is impossible there by
+    construction; see the next test for their property.)"""
+    plan = _plan(spark, "ann_topk_cosine", registry["ann_topk_cosine"])
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "LessThan(vec_id" in pushed
+
+
+def test_timeframe_filter_runs_before_shuffle(spark, registry):
+    """ts_parsed comes out of the parse projection, so the timeframe
+    predicate cannot reach the scan — but Catalyst must still place it
+    BELOW every exchange (filter-then-shuffle, not shuffle-then-filter).
+    In formatted-explain trees children print after parents, so the Filter
+    node appearing after all Exchange nodes == it executes first."""
+    plan = _plan(spark, "timeframe_logs", registry["timeframe_logs"])
+    tree = plan.partition("\n\n")[0]
+    # formatted-plan node ids increase toward the root: Filter (7) below
+    # Exchange (10) means the predicate runs before the orderBy shuffle.
+    # (An Exchange BELOW the filter is fine — the transcript renderer's
+    # own window shuffle is upstream of where ts_parsed first exists.)
+    filter_ids = [int(m.group(1)) for m in re.finditer(r"Filter \((\d+)\)", tree)]
+    exchange_ids = [int(m.group(1)) for m in re.finditer(r"Exchange \((\d+)\)", tree)]
+    assert filter_ids and exchange_ids
+    assert min(filter_ids) < max(exchange_ids), (
+        "timeframe predicate should execute below the final sort exchange"
+    )
