@@ -89,6 +89,20 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return sim.ann_lsh_bucketed(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
 
 
+def q_ann_ivf_fullprobe(spark, sf_dir):
+    # nprobe == lists degrades IVF to exact search (every inverted list is
+    # scored), so this variant IS oracle-checkable: row-identical to brute
+    # force (same cosine expr, same tie-break). The probed path keeps its
+    # recall/determinism tests instead.
+    emb = _emb(spark, sf_dir)
+    return sim.ann_ivf(
+        emb,
+        emb.where(F.col("vec_id") < N_ANN_QUERIES),
+        lists=sim.IVF_LISTS,
+        nprobe=sim.IVF_LISTS,
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return sim.ann_ivf(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
@@ -128,6 +142,7 @@ QUERIES = {
     "ann_topk_cosine_np": q_ann_topk_cosine_np,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -334,3 +349,6 @@ FROM documents ORDER BY doc_id
 """,
 }
 ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]
+# full-probe IVF scores every inverted list -> exact search, row-identical
+# to brute force (verified by test_ann_ivf_fullprobe_equals_brute_force)
+ORACLES["ann_ivf_fullprobe"] = ORACLES["ann_topk_cosine"]

@@ -211,3 +211,19 @@ def test_ann_ivf_recall(spark):
         for r in sim.ann_ivf(emb, q, k=3).collect()
     }
     assert approx == again
+
+
+def test_ann_ivf_fullprobe_equals_brute_force(spark):
+    """nprobe == lists scores every inverted list: IVF degrades to exact
+    search and must be ROW-identical (ids, cosines, ranks) to brute force —
+    this equality is what licenses the ann_ivf_fullprobe DuckDB oracle."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = [tuple(r) for r in sim.brute_force_topk(emb, q, k=3).collect()]
+    full = [
+        tuple(r)
+        for r in sim.ann_ivf(
+            emb, q, k=3, lists=sim.IVF_LISTS, nprobe=sim.IVF_LISTS
+        ).collect()
+    ]
+    assert full == exact and exact
