@@ -132,11 +132,15 @@ def minhash_lsh_pairs(
     per-bucket blocks; AQE skew-split handles pathological buckets.
     """
     n_hashes = bands * rows
-    # Persisted: the shingle frame feeds the signature AND both sides of
-    # the verify join below — one tokenize/shingle pass instead of three.
-    # MEMORY_AND_DISK so a 10^12-row corpus spills instead of OOMing;
-    # the ContextCleaner reclaims it once the query's RDDs are released.
-    sh = _shingle_docs(docs, k).where(F.size("ts") > 0).persist()
+    # Lazy localCheckpoint: the shingle frame feeds the signature AND both
+    # sides of the verify join below — one tokenize/shingle pass instead of
+    # three (MEMORY_AND_DISK blocks, computed on first action). Unlike
+    # DataFrame.persist (held by the session CacheManager until an explicit
+    # unpersist), localCheckpoint blocks are freed by the ContextCleaner
+    # when the returned DataFrame's RDD lineage is garbage-collected, so
+    # repeated calls in a long-lived session do not accumulate caches —
+    # and a fresh call never silently reuses a previous call's cache.
+    sh = _shingle_docs(docs, k).where(F.size("ts") > 0).localCheckpoint(eager=False)
     # Two projections on purpose: hash each shingle string once, then take
     # the 36 seeded minima over the 8-byte hashes (HOFs are interpreted and
     # inline their argument subtree — see texthash.shingle_hashes).
@@ -323,12 +327,21 @@ def embedding_cosine_pairs_lsh(
     from .similarity import lsh_sig_exprs, lsh_signature_udf_planes
 
     hps = lsh_signature_udf_planes(dim, planes, tables)
+    # As in minhash_lsh_pairs, vectors are NOT carried through the
+    # x`tables` explode or the bucket self-join — only (vec_id, tbl, sig)
+    # rows shuffle; the 64-double payloads are joined back onto the (tiny)
+    # deduplicated candidate set for verification. The vector frame is
+    # lazily checkpointed once and reused for signatures + both verify sides.
     v = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("sigs", lsh_sig_exprs(F.col("v"), hps, planes))
-    e = v.select("vec_id", "v", F.explode("sigs").alias("s")).select(
-        "vec_id", "v", "s.tbl", "s.sig"
+    ).localCheckpoint(eager=False)
+    e = (
+        v.select(
+            "vec_id",
+            F.explode(lsh_sig_exprs(F.col("v"), hps, planes)).alias("s"),
+        )
+        .select("vec_id", "s.tbl", "s.sig")
     )
     a, b = e.alias("a"), e.alias("b")
     cand = (
@@ -340,11 +353,14 @@ def embedding_cosine_pairs_lsh(
         )
         .select(
             F.col("a.vec_id").alias("id_a"),
-            F.col("a.v").alias("va"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("b.v").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b"
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),

@@ -190,12 +190,16 @@ def lsh_sig_exprs(vcol, hps: list[np.ndarray], planes: int):
     for t, hp in enumerate(hps):
         bits = F.lit(0)
         for p in range(planes):
+            # ONE py4j call per hyperplane literal: both F.lit(x) per
+            # element and F.lit(list) (which expands element-wise
+            # internally) cost a py4j round trip per component — 64
+            # planes x 64 dims was ~4k driver calls / ~7 s of pure
+            # expression construction before any data moved.
+            w_arr = F.expr(
+                "array(" + ",".join(f"{float(x)!r}D" for x in hp[p]) + ")"
+            )
             proj = F.aggregate(
-                F.zip_with(
-                    vcol,
-                    F.array(*[F.lit(float(x)) for x in hp[p]]),
-                    lambda x, w: x * w,
-                ),
+                F.zip_with(vcol, w_arr, lambda x, w: x * w),
                 F.lit(0.0),
                 lambda a, x: a + x,
             )

@@ -65,18 +65,27 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
 def table_exists(spark: SparkSession, base_dir: str, name: str) -> bool:
     if table_format() == "iceberg":
         return spark.catalog.tableExists(f"graft.{name}")
-    # Hadoop-FS existence probe (works for file://, hdfs://, s3a://...)
-    # instead of read.parquet + catch: the JVM logs the caught
-    # AnalysisException at ERROR level, which reads as a failure in logs.
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{name}")
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
+    # Hadoop-FS existence probe first (works for file://, hdfs://,
+    # s3a://...): the common not-there case must not go through
+    # read.parquet + catch, whose caught AnalysisException the JVM logs at
+    # ERROR level. Only when the directory exists with visible entries do
+    # we confirm it is actually a READABLE parquet table (a half-written
+    # dir — e.g. only empty bucket= subdirs — would pass a pure listing
+    # check and then crash the caller's read). Any error, filesystem or
+    # parquet, means "not usable as a table": return False, as callers
+    # treat this as skip-the-sink.
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{name}")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return False
+        if not any(
+            not s.getPath().getName().startswith(("_", "."))
+            for s in fs.listStatus(path)
+        ):
+            return False
+        spark.read.parquet(f"{base_dir}/{name}").schema
+        return True
+    except Exception:  # noqa: BLE001
         return False
-    # An empty/metadata-only directory is not a readable table yet
-    # (parquet schema inference would fail on it).
-    for status in fs.listStatus(path):
-        leaf = status.getPath().getName()
-        if not leaf.startswith("_") and not leaf.startswith("."):
-            return True
-    return False

@@ -115,7 +115,7 @@ def streaming_route(
 
 def streaming_conversation_state(
     stream: DataFrame,
-    idle_timeout_ms: int = 60_000,
+    idle_timeout_ms: int | None = 60_000,
 ):
     """Custom stateful operator: per-conversation running totals maintained
     across micro-batches with ``applyInPandasWithState``.
@@ -128,6 +128,13 @@ def streaming_conversation_state(
     not history). This is the streaming analog of the batch
     ``turns_per_conversation`` aggregate — cross-batch equivalence is
     tested in ``tests/test_streaming.py``.
+
+    ``idle_timeout_ms=None`` disables eviction (``NoTimeout``). Use that
+    for ``availableNow`` drains of a bounded backlog: with processing-time
+    timeouts the query cannot terminate until every pending state timer
+    has fired, so it spins empty micro-batches for the whole timeout after
+    the data is exhausted. Timeout eviction is for continuously-running
+    deployments.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -147,6 +154,11 @@ def streaming_conversation_state(
         ]
     )
 
+    # "no timestamp seen yet" sentinel: far below any representable event
+    # time, so a legitimate ts of exactly epoch 0 (or pre-1970) round-trips
+    # instead of collapsing to NULL via a falsy-zero check.
+    _NO_TS = -(1 << 62)
+
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
@@ -154,7 +166,7 @@ def streaming_conversation_state(
         if state.hasTimedOut:
             state.remove()
             return
-        n, mx, last_us = state.get if state.exists else (0, -1, 0)
+        n, mx, last_us = state.get if state.exists else (0, -1, _NO_TS)
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
@@ -163,16 +175,24 @@ def streaming_conversation_state(
                 if pd.notna(ts_max):
                     last_us = max(last_us, int(ts_max.value // 1000))
         state.update((n, mx, last_us))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "conv_id": [conv_id],
                 "n_turns": [n],
                 "max_turn_idx": [mx],
-                "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
+                "last_ts": [
+                    pd.Timestamp(last_us * 1000) if last_us != _NO_TS else pd.NaT
+                ],
             }
         )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         stream.groupBy("conv_id")
         .applyInPandasWithState(
@@ -180,7 +200,7 @@ def streaming_conversation_state(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 

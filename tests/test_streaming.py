@@ -43,7 +43,7 @@ def test_streaming_route_matches_batch_counts(spark, stream_dirs):
     half_a.write.mode("append").parquet(stream_dirs["in"])
     stream = read_transcript_stream(spark, stream_dirs["in"])
     q = streaming_route(stream, stream_dirs["out"], stream_dirs["ckpt"])
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     n_first = spark.read.parquet(f"{stream_dirs['out']}/parsed_turns").count()
     assert n_first > 0
 
@@ -54,7 +54,7 @@ def test_streaming_route_matches_batch_counts(spark, stream_dirs):
         stream_dirs["out"],
         stream_dirs["ckpt"],
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300)
     n_total = spark.read.parquet(f"{stream_dirs['out']}/parsed_turns").count()
 
     from log_analysis_system_spark.functions.parse import parse_transcripts
@@ -80,7 +80,7 @@ def test_streaming_window_counts(spark, stream_dirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = {
         (r.window_start, r.n_turns)
         for r in spark.sql("select * from traffic").collect()
@@ -104,14 +104,20 @@ def test_streaming_conversation_state_accumulates_across_batches(
     t = load_transcripts(spark, SF)
     early = t.where(F.col("turn_idx") < 3)
     late = t.where(F.col("turn_idx") >= 3)
-    early.write.mode("append").parquet(stream_dirs["in"])
-    late.write.mode("append").parquet(stream_dirs["in"])
+    # 4 files per drop -> 8 micro-batches at maxFilesPerTrigger=1: still
+    # forces every conversation across >= 2 batches (early/late split),
+    # without 60+ batches of per-batch state-worker overhead.
+    early.coalesce(4).write.mode("append").parquet(stream_dirs["in"])
+    late.coalesce(4).write.mode("append").parquet(stream_dirs["in"])
 
     # maxFilesPerTrigger=1 forces multiple micro-batches, so most convs
-    # are updated across batches and state must carry over.
+    # are updated across batches and state must carry over. NoTimeout
+    # (idle_timeout_ms=None) for the availableNow drain: no mid-test
+    # eviction on a stalled host, and the query terminates when the data
+    # is exhausted instead of spinning until state timers fire.
     stream = read_transcript_stream(spark, stream_dirs["in"], max_files_per_trigger=1)
     q = (
-        streaming_conversation_state(stream)
+        streaming_conversation_state(stream, idle_timeout_ms=None)
         .writeStream.format("memory")
         .queryName("conv_state")
         .outputMode("update")
@@ -119,7 +125,7 @@ def test_streaming_conversation_state_accumulates_across_batches(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     # update mode re-emits a conv each batch it changes: keep the row with
     # the highest n_turns per conv (the final state)
     got = {}

@@ -51,8 +51,8 @@ def main() -> None:
     # multi-core trials swing 2x+ with vCPU-starvation windows — sampling
     # the contended level more often raises the odds its best-of catches a
     # clean window (the min is the estimator either way).
-    rep_small = int(os.environ.get("SCALING_REPEAT_SMALL", str(repeat)))
-    rep_big = int(os.environ.get("SCALING_REPEAT_BIG", str(repeat)))
+    rep_small = max(1, int(os.environ.get("SCALING_REPEAT_SMALL", str(repeat))))
+    rep_big = max(1, int(os.environ.get("SCALING_REPEAT_BIG", str(repeat))))
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="scaling_bench_", dir=base)
     inp = os.path.join(work, "transcripts")
