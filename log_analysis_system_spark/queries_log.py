@@ -423,7 +423,7 @@ SELECT endpoint, 'error_rate', er_v, 3600 FROM es""",
     + f"""
 SELECT round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS error_rate,
        count(*) AS total_requests,
-       sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS error_count
+       CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS error_count
 FROM parsed WHERE {_ACCESS}""",
     "error_endpoints": P
     + f"""
@@ -431,7 +431,7 @@ SELECT endpoint, error_count, total_count,
        round(CAST(error_count AS DOUBLE) / total_count, 6) AS endpoint_error_rate
 FROM (
   SELECT endpoint,
-         sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS error_count,
+         CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
          count(*) AS total_count
   FROM parsed WHERE {_ACCESS} GROUP BY endpoint
 ) WHERE error_count > 0""",
@@ -468,7 +468,7 @@ SELECT endpoint, count(*) AS request_count,
        round((CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE) / count(response_time)), 6) AS avg_response_time,
        min(response_time) AS min_response_time,
        max(response_time) AS max_response_time,
-       sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS error_count
+       CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS error_count
 FROM parsed
 WHERE {_ACCESS} AND ts_parsed BETWEEN TIMESTAMP '2024-01-02 00:00:00'
   AND TIMESTAMP '2024-01-05 00:00:00'
@@ -516,13 +516,13 @@ FROM counts ORDER BY conv_id
     "ip_threat_scores": PS
     + """
 SELECT ip_address,
-       sum(CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 5
-           WHEN 'high' THEN 10 ELSE 1 END) AS score,
-       sum(CASE WHEN event_type = 'attack_pattern' THEN 1 ELSE 0 END) AS n_attack,
-       sum(CASE WHEN event_type = 'scan_attempt' THEN 1 ELSE 0 END) AS n_scan,
-       sum(CASE WHEN event_type = 'suspicious_ip' THEN 1 ELSE 0 END) AS n_suspicious,
-       sum(CASE WHEN event_type = 'brute_force_attempt' THEN 1 ELSE 0 END) AS n_brute_force,
-       sum(CASE WHEN event_type = 'unusual_method' THEN 1 ELSE 0 END) AS n_unusual_method,
+       CAST(sum(CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 5
+           WHEN 'high' THEN 10 ELSE 1 END) AS BIGINT) AS score,
+       CAST(sum(CASE WHEN event_type = 'attack_pattern' THEN 1 ELSE 0 END) AS BIGINT) AS n_attack,
+       CAST(sum(CASE WHEN event_type = 'scan_attempt' THEN 1 ELSE 0 END) AS BIGINT) AS n_scan,
+       CAST(sum(CASE WHEN event_type = 'suspicious_ip' THEN 1 ELSE 0 END) AS BIGINT) AS n_suspicious,
+       CAST(sum(CASE WHEN event_type = 'brute_force_attempt' THEN 1 ELSE 0 END) AS BIGINT) AS n_brute_force,
+       CAST(sum(CASE WHEN event_type = 'unusual_method' THEN 1 ELSE 0 END) AS BIGINT) AS n_unusual_method,
        CASE WHEN sum(CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 5
                      WHEN 'high' THEN 10 ELSE 1 END) >= 20 THEN 'high'
             WHEN sum(CASE severity WHEN 'low' THEN 1 WHEN 'medium' THEN 5
@@ -620,9 +620,9 @@ WHERE n_points >= 10 AND error_rate > q75 + 1.5 * (q75 - q25)""",
     "turns_per_conversation": P
     + """
 SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
-       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant_turns,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM transcripts GROUP BY conv_id""",
     "tool_invocations": P
@@ -649,18 +649,18 @@ SELECT count(*) AS n_violations FROM (
 , turns AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id),
 alerts AS (
   SELECT conv_id, count(*) AS n_alerts,
-         sum(CASE WHEN severity = 'high' THEN 1 ELSE 0 END) AS n_high
+         CAST(sum(CASE WHEN severity = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high
   FROM sec_events WHERE conv_id IS NOT NULL GROUP BY conv_id
 )
 SELECT t.conv_id, t.n_turns,
-       coalesce(a.n_alerts, 0) AS n_alerts,
-       coalesce(a.n_high, 0) AS n_high,
+       CAST(coalesce(a.n_alerts, 0) AS BIGINT) AS n_alerts,
+       CAST(coalesce(a.n_high, 0) AS BIGINT) AS n_high,
        round(CAST(coalesce(a.n_alerts, 0) AS DOUBLE) / t.n_turns, 6) AS alert_rate
 FROM turns t LEFT JOIN alerts a USING (conv_id)""",
     "salted_turn_counts": P
     + """
 SELECT conv_id, count(*) AS n_turns,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
 FROM transcripts GROUP BY conv_id""",
     "enriched_status_counts": P
     + f"""

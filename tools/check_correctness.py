@@ -78,9 +78,14 @@ def main() -> int:
             print(f"weak  {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # Arrow materialization (not fetchall) to mirror the driver's
+            # typing: DuckDB HUGEINT sums surface as decimal128(38,0) in
+            # Arrow while fetchall() silently converts them to Python int —
+            # the round-1 hash-fail class this gate must catch locally.
+            atbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols_raw = list(atbl.column_names)
+            dpy = atbl.to_pylist()
+            drows = [tuple(d[c] for c in dcols_raw) for d in dpy]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
