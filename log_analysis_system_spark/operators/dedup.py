@@ -47,21 +47,24 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
     Grouping on ``md5(text)`` (not raw text) keeps shuffle keys 32 bytes at
     10^12 scale. Output: (canonical_id, dup_id).
+
+    Shape: groupBy-min + join back, NOT ``collect_list`` per group — a
+    degenerate group (one boilerplate doc duplicated 10^8 times) would
+    materialize a giant array on a single reducer; min/count partial-aggregate
+    map-side and stay O(1) per group, and the re-join streams the big side
+    against one build row per hash (AQE skew-split covers pathological keys).
     """
+    hashed = docs.select(F.md5("text").alias("h"), "doc_id")
     groups = (
-        docs.select(F.md5("text").alias("h"), "doc_id")
-        .groupBy("h")
-        .agg(
-            F.min("doc_id").alias("canonical_id"),
-            F.collect_list("doc_id").alias("ids"),
-        )
-        .where(F.size("ids") > 1)
+        hashed.groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .drop("c")
     )
     return (
-        groups.select(
-            "canonical_id", F.explode("ids").alias("dup_id")
-        )
-        .where(F.col("dup_id") != F.col("canonical_id"))
+        hashed.join(groups, "h")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("canonical_id", F.col("doc_id").alias("dup_id"))
         .orderBy("canonical_id", "dup_id")
     )
 

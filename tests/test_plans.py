@@ -93,6 +93,19 @@ def test_parquet_scan_pushdown_where_possible(spark, registry):
     assert "LessThan(vec_id" in pushed
 
 
+def test_dedup_plans_have_no_per_group_arrays(spark, registry):
+    """Dedup never materializes a per-group array: a degenerate hash group
+    (one doc duplicated 10^8 times) must stay O(1)-state per group through
+    the aggregate, so collect_list/collect_set are banned from every dedup
+    plan (the skew-safe shape is groupBy-min + join back)."""
+    for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "dedup_simhash", "dedup_components"):
+        plan = _plan(spark, name, registry[name])
+        assert "collect_list" not in plan and "collect_set" not in plan, (
+            f"{name} materializes a per-group array"
+        )
+
+
 def test_timeframe_filter_runs_before_shuffle(spark, registry):
     """ts_parsed comes out of the parse projection, so the timeframe
     predicate cannot reach the scan — but Catalyst must still place it
