@@ -143,6 +143,10 @@ def minhash_lsh_pairs(
     # when the returned DataFrame's RDD lineage is garbage-collected, so
     # repeated calls in a long-lived session do not accumulate caches —
     # and a fresh call never silently reuses a previous call's cache.
+    # Durability trade-off: truncating lineage means an executor loss on a
+    # real cluster cannot recompute the lost blocks (persist() would); at
+    # the 10^12-row design point prefer reliable checkpoints to cluster
+    # storage, or persist+unpersist, when executor churn is expected.
     sh = _shingle_docs(docs, k).where(F.size("ts") > 0).localCheckpoint(eager=False)
     # Two projections on purpose: hash each shingle string once, then take
     # the 36 seeded minima over the 8-byte hashes (HOFs are interpreted and
@@ -339,10 +343,24 @@ def embedding_cosine_pairs_lsh(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     ).localCheckpoint(eager=False)
+    # Dimension guard: zip_with against the dim-wide hyperplane literals
+    # null-pads a mismatched vector, silently clearing sign bits and
+    # degrading recall with no error (the exact verify preserves the subset
+    # property, so the loss would be invisible). Fail loudly instead.
+    dim_ok = F.when(
+        F.size("v") == dim, F.col("v")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dim mismatch: expected {dim}, got "),
+                F.size("v").cast("string"),
+            )
+        )
+    )
     e = (
         v.select(
             "vec_id",
-            F.explode(lsh_sig_exprs(F.col("v"), hps, planes)).alias("s"),
+            F.explode(lsh_sig_exprs(dim_ok, hps, planes)).alias("s"),
         )
         .select("vec_id", "s.tbl", "s.sig")
     )

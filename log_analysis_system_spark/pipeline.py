@@ -190,30 +190,34 @@ def _route_stage(
         # materialized by the count jobs above), so the six writes are
         # independent Spark actions — submit them concurrently and let the
         # scheduler interleave; each writes a distinct sink_counts key.
-        with ThreadPoolExecutor(max_workers=_sink_concurrency()) as pool:
-            futures = [
-                pool.submit(_sink, result, access.drop("ts"), output_dir,
-                            "parsed_turns", total("parsed_turns")),
-                pool.submit(_sink, result, errors, output_dir,
-                            "error_turns", total("error_turns")),
-                pool.submit(_sink, result, rejects, output_dir,
-                            "rejects", total("rejects")),
-            ]
-            futures += [
-                pool.submit(
-                    _sink,
-                    result,
-                    row_events.where(F.col("severity") == severity),
-                    output_dir,
-                    name,
-                    sev_counts.get(severity, 0),
-                )
-                for severity, name in ROW_SINKS_BY_SEVERITY.items()
-            ]
-            for f in futures:
-                f.result()  # re-raises the first failure
-        row_events.unpersist()
-        enriched.unpersist()
+        try:
+            with ThreadPoolExecutor(max_workers=_sink_concurrency()) as pool:
+                futures = [
+                    pool.submit(_sink, result, access.drop("ts"), output_dir,
+                                "parsed_turns", total("parsed_turns")),
+                    pool.submit(_sink, result, errors, output_dir,
+                                "error_turns", total("error_turns")),
+                    pool.submit(_sink, result, rejects, output_dir,
+                                "rejects", total("rejects")),
+                ]
+                futures += [
+                    pool.submit(
+                        _sink,
+                        result,
+                        row_events.where(F.col("severity") == severity),
+                        output_dir,
+                        name,
+                        sev_counts.get(severity, 0),
+                    )
+                    for severity, name in ROW_SINKS_BY_SEVERITY.items()
+                ]
+                for f in futures:
+                    f.result()  # re-raises the first failure
+        finally:
+            # always drop the cache blocks — a failed concurrent sink write
+            # must not leak MEMORY_AND_DISK blocks for the session lifetime
+            row_events.unpersist()
+            enriched.unpersist()
 
     st.append_state(
         spark,
@@ -275,40 +279,42 @@ def _aggregate_stage(
         def _observed_to(name: str, df: DataFrame) -> None:
             result.sink_counts[name] = _write_observed(df, output_dir, name)
 
-        with ThreadPoolExecutor(max_workers=min(5, _sink_concurrency())) as pool:
-            futures = [
-                pool.submit(
-                    _observed_to, name,
-                    agg_events.where(F.col("severity") == severity),
+        try:
+            with ThreadPoolExecutor(max_workers=min(5, _sink_concurrency())) as pool:
+                futures = [
+                    pool.submit(
+                        _observed_to, name,
+                        agg_events.where(F.col("severity") == severity),
+                    )
+                    for severity, name in AGG_SINKS_BY_SEVERITY.items()
+                ]
+                futures.append(
+                    pool.submit(_observed_to, "performance_metrics", metrics)
                 )
-                for severity, name in AGG_SINKS_BY_SEVERITY.items()
-            ]
-            futures.append(
-                pool.submit(_observed_to, "performance_metrics", metrics)
+                futures.append(pool.submit(_observed_to, "anomalies", anomalies))
+                for f in futures:
+                    f.result()
+
+            # threat scores over the union of all routed events
+            row_events = None
+            for name in ROW_SINKS_BY_SEVERITY.values():
+                if catalog.table_exists(spark, output_dir, name):
+                    t_df = catalog.read_table(spark, output_dir, name)
+                    row_events = t_df if row_events is None else row_events.unionByName(t_df)
+            all_events = agg_events.drop("bucket")
+            if row_events is not None:
+                all_events = all_events.unionByName(row_events.drop("bucket"))
+            scores = sec.ip_threat_scores(all_events)
+            result.sink_counts["ip_threat_scores"] = _write_observed(
+                scores, output_dir, "ip_threat_scores"
             )
-            futures.append(pool.submit(_observed_to, "anomalies", anomalies))
-            for f in futures:
-                f.result()
 
-        # threat scores over the union of all routed events
-        row_events = None
-        for name in ROW_SINKS_BY_SEVERITY.values():
-            if catalog.table_exists(spark, output_dir, name):
-                t_df = catalog.read_table(spark, output_dir, name)
-                row_events = t_df if row_events is None else row_events.unionByName(t_df)
-        all_events = agg_events.drop("bucket")
-        if row_events is not None:
-            all_events = all_events.unionByName(row_events.drop("bucket"))
-        scores = sec.ip_threat_scores(all_events)
-        result.sink_counts["ip_threat_scores"] = _write_observed(
-            scores, output_dir, "ip_threat_scores"
-        )
-
-        st.throttle_alerts(
-            spark, output_dir, all_events.where(F.col("severity") == "high"), run_id
-        )
-        agg_events.unpersist()
-        parsed.unpersist()
+            st.throttle_alerts(
+                spark, output_dir, all_events.where(F.col("severity") == "high"), run_id
+            )
+        finally:
+            agg_events.unpersist()
+            parsed.unpersist()
 
     st.append_state(
         spark,

@@ -257,9 +257,15 @@ def q_format_detection(spark, sf_dir):
 
 
 def q_security_events(spark, sf_dir):
-    # five detectors fan out from one parse: persist so the scan+parse runs
-    # once, not per union branch (same strategy as pipeline._route_stage)
-    return sec.all_security_events(load_parsed(spark, sf_dir).persist())
+    # five detectors fan out from one parse: lazy localCheckpoint so the
+    # scan+parse runs once, not per union branch (same strategy as
+    # pipeline._route_stage). localCheckpoint over persist(): its blocks
+    # are freed by the ContextCleaner when the frame is GC'd, so repeated
+    # registry invocations in a long-lived session don't accumulate
+    # CacheManager entries that only an explicit unpersist would release.
+    return sec.all_security_events(
+        load_parsed(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 def q_brute_force(spark, sf_dir):
@@ -277,7 +283,10 @@ def q_unusual_methods(spark, sf_dir):
 
 
 def q_ip_threat_scores(spark, sf_dir):
-    events = sec.all_security_events(load_parsed(spark, sf_dir).persist())
+    # lazy localCheckpoint, not persist: see q_security_events
+    events = sec.all_security_events(
+        load_parsed(spark, sf_dir).localCheckpoint(eager=False)
+    )
     return sec.ip_threat_scores(events)
 
 

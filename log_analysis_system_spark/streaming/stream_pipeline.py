@@ -170,7 +170,12 @@ def streaming_conversation_state(
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
-                mx = max(mx, int(pdf["turn_idx"].max()))
+                # both maxes null-guarded: an all-null chunk yields NaN/NaT
+                # (the schema allows null turn_idx, and batch F.max skips
+                # nulls) — int(NaN) would crash the streaming query
+                idx_max = pdf["turn_idx"].max()
+                if pd.notna(idx_max):
+                    mx = max(mx, int(idx_max))
                 ts_max = pdf["ts"].max()
                 if pd.notna(ts_max):
                     last_us = max(last_us, int(ts_max.value // 1000))

@@ -89,6 +89,17 @@ def test_embedding_lsh_subset_and_recall(spark):
     assert len(lsh) / len(exact) >= 0.85
 
 
+def test_embedding_lsh_rejects_dim_mismatch(spark):
+    """A corpus whose vectors don't match the hyperplane dimension must fail
+    loudly — silent zip_with null-padding would clear sign bits and degrade
+    recall invisibly (the exact verify keeps the subset property)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="dim mismatch"):
+        dd.embedding_cosine_pairs_lsh(emb).collect()
+
+
 # -------------------------------------------------------------- similarity
 def test_brute_force_topk_sql_vs_numpy(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")

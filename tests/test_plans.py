@@ -93,6 +93,19 @@ def test_parquet_scan_pushdown_where_possible(spark, registry):
     assert "LessThan(vec_id" in pushed
 
 
+def test_registry_fanout_queries_leave_no_sql_cache(spark, registry):
+    """Fan-out queries share their parse via lazy localCheckpoint (blocks
+    freed by the ContextCleaner on GC), never bare .persist() — repeated
+    registry invocations in a long-lived session must not accumulate SQL
+    CacheManager entries that only an explicit unpersist would release."""
+    for _ in range(2):
+        for name in ("security_events", "ip_threat_scores"):
+            registry[name](spark, SF).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "registry query leaked a .persist() into the SQL CacheManager"
+    )
+
+
 def test_dedup_plans_have_no_per_group_arrays(spark, registry):
     """Dedup never materializes a per-group array: a degenerate hash group
     (one doc duplicated 10^8 times) must stay O(1)-state per group through
