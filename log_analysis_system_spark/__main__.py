@@ -1,0 +1,116 @@
+"""CLI driver: ``python -m log_analysis_system_spark``.
+
+Mirrors the reference's argparse entry point (``main.py:48-78`` —
+``--config --log-dir --analyze-only``) over the Spark pipeline:
+
+    python -m log_analysis_system_spark \
+        --input /root/testdata/sf0.001 --output /tmp/out \
+        [--run-id RID] [--no-resume] [--analyze-only] \
+        [--config config.yaml] [--patterns patterns.yaml] \
+        [--suspicious-ips ips.txt] [--buckets 32] \
+        [--parse-engine pandas|sql] [--master local[*]]
+
+``--input`` accepts either a testdata scale dir (containing
+``events.parquet`` — transcripts are rendered from it deterministically) or
+a parquet of transcripts (must carry ``conv_id, turn_idx, text`` columns).
+Prints a one-line JSON run summary to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import uuid
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m log_analysis_system_spark",
+        description="PySpark log-analysis pipeline (parse -> enrich -> "
+        "route -> aggregate) with bucketed resume.",
+    )
+    p.add_argument("--input", required=True,
+                   help="scale dir with events.parquet, or a transcripts parquet")
+    p.add_argument("--output", required=True, help="output table directory")
+    p.add_argument("--run-id", default=None,
+                   help="run id for lineage/resume (default: random)")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore prior state; reprocess every bucket")
+    p.add_argument("--analyze-only", action="store_true",
+                   help="skip parsing; re-run analysis over the existing "
+                   "parsed_turns sink (reference main.py --analyze-only)")
+    p.add_argument("--config", default=None, help="config.yaml (reference schema)")
+    p.add_argument("--patterns", default=None, help="patterns.yaml (reference schema)")
+    p.add_argument("--suspicious-ips", default=None, help="suspicious_ips.txt")
+    p.add_argument("--buckets", type=int, default=32,
+                   help="conv_id hash buckets (lineage/resume granularity)")
+    p.add_argument("--parse-engine", choices=("pandas", "sql"), default="pandas")
+    p.add_argument("--master", default=None,
+                   help="spark master (default local[$SPARK_GRAFT_CPUS]); "
+                   "pass '' to defer to the cluster manager")
+    return p
+
+
+def load_input(spark, path: str):
+    from .sources.events_transcripts import render_transcripts
+
+    events_path = os.path.join(path, "events.parquet")
+    if os.path.isdir(path) and os.path.exists(events_path):
+        events = spark.read.parquet(events_path)
+        events = events.repartition(spark.sparkContext.defaultParallelism)
+        return render_transcripts(events)
+    df = spark.read.parquet(path)
+    missing = {"conv_id", "turn_idx", "text"} - set(df.columns)
+    if missing:
+        raise SystemExit(
+            f"--input parquet is missing transcript columns: {sorted(missing)}"
+        )
+    return df
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from .config import DEFAULT_CONFIG, load_config
+    from .pipeline import run_pipeline
+    from .session import get_spark
+
+    if args.config or args.patterns or args.suspicious_ips:
+        cfg = load_config(
+            config_path=args.config,
+            patterns_path=args.patterns,
+            suspicious_ips_path=args.suspicious_ips,
+        )
+    else:
+        cfg = DEFAULT_CONFIG
+
+    spark = get_spark(app_name="log-analysis-system-cli", master=args.master)
+    try:
+        transcripts = None if args.analyze_only else load_input(spark, args.input)
+        result = run_pipeline(
+            spark,
+            transcripts,
+            args.output,
+            run_id=args.run_id or uuid.uuid4().hex[:12],
+            n_buckets=args.buckets,
+            parse_engine=args.parse_engine,
+            resume=not args.no_resume,
+            analyze_only=args.analyze_only,
+            cfg=cfg,
+        )
+        print(json.dumps({
+            "run_id": result.run_id,
+            "buckets_processed": len(result.buckets_processed),
+            "buckets_skipped": len(result.buckets_skipped),
+            "aggregate_ran": result.aggregate_ran,
+            "sink_counts": result.sink_counts,
+        }))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..config import RE_COMBINED, RE_COMBINED_TIME, RE_COMMON, RE_ERROR
+from ..config import DEFAULT_CONFIG, RuntimeConfig
 
 PARSED_SCHEMA = StructType(
     [
@@ -72,8 +72,15 @@ _TS_ERROR_FMT = "MMM dd HH:mm:ss yyyy"
 
 
 # ---------------------------------------------------------------- SQL engine
-def _sql_parsed_struct(text: Column) -> Column:
-    """Parse struct via JVM regex built-ins (whole-stage codegen path)."""
+def _sql_parsed_struct(
+    text: Column, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> Column:
+    """Parse struct via JVM regex built-ins (whole-stage codegen path).
+    Regexes come from ``cfg`` (runtime-loadable via ``config.load_config``);
+    the prefix-nesting of the access formats is validated at load time."""
+    RE_COMMON, RE_COMBINED, RE_COMBINED_TIME, RE_ERROR = (
+        cfg.re_common, cfg.re_combined, cfg.re_combined_time, cfg.re_error
+    )
     is_ct = text.rlike(RE_COMBINED_TIME)
     is_cb = text.rlike(RE_COMBINED)
     is_cm = text.rlike(RE_COMMON)
@@ -148,7 +155,7 @@ def _sql_parsed_struct(text: Column) -> Column:
 
 
 # ------------------------------------------------------------- pandas engine
-def _parse_batch(s: pd.Series) -> pd.DataFrame:
+def _parse_batch(s: pd.Series, cfg: RuntimeConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Vectorized grok cascade over one Arrow batch (no per-row Python).
 
     First-match-wins done literally: each regex runs only on the rows no
@@ -156,6 +163,9 @@ def _parse_batch(s: pd.Series) -> pd.DataFrame:
     cuts regex work ~2x vs extracting every format over every row), and
     the common groups 0-6 come from whichever format matched (the access
     regexes are start-anchored prefixes of each other)."""
+    RE_COMMON, RE_COMBINED, RE_COMBINED_TIME, RE_ERROR = (
+        cfg.re_common, cfg.re_combined, cfg.re_combined_time, cfg.re_error
+    )
     s = s.fillna("")
     idx = s.index
     out = pd.DataFrame(index=idx)
@@ -224,25 +234,39 @@ def _parse_batch(s: pd.Series) -> pd.DataFrame:
     return out
 
 
-@pandas_udf(PARSED_SCHEMA)
-def parse_text_udf(s: pd.Series) -> pd.DataFrame:
-    return _parse_batch(s)
+def make_parse_udf(cfg: RuntimeConfig = DEFAULT_CONFIG):
+    """Compile the Arrow pandas-UDF parse engine against a config (the
+    frozen dataclass pickles into the UDF closure)."""
+
+    @pandas_udf(PARSED_SCHEMA)
+    def parse_text_udf(s: pd.Series) -> pd.DataFrame:
+        return _parse_batch(s, cfg)
+
+    return parse_text_udf
+
+
+parse_text_udf = make_parse_udf()
 
 
 # ------------------------------------------------------------------- facade
 def parse_transcripts(
-    df: DataFrame, text_col: str = "text", engine: str = "sql"
+    df: DataFrame,
+    text_col: str = "text",
+    engine: str = "sql",
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """Append parsed fields to a transcripts DataFrame.
 
     Keeps all input columns and adds the 16 parse fields (flattened).
     ``engine='sql'`` uses JVM regex built-ins; ``engine='pandas'`` uses the
-    Arrow-vectorized pandas UDF. Results are identical (tested).
+    Arrow-vectorized pandas UDF. Results are identical (tested). ``cfg``
+    supplies the grok regexes (runtime-loadable, defaults = reference's).
     """
     if engine == "pandas":
-        parsed = parse_text_udf(F.col(text_col))
+        udf = parse_text_udf if cfg is DEFAULT_CONFIG else make_parse_udf(cfg)
+        parsed = udf(F.col(text_col))
     elif engine == "sql":
-        parsed = _sql_parsed_struct(F.col(text_col))
+        parsed = _sql_parsed_struct(F.col(text_col), cfg)
     else:
         raise ValueError(f"unknown parse engine: {engine}")
     df = df.withColumn("_parsed", parsed)

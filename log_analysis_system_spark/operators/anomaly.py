@@ -19,13 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import (
-    IQR_MULTIPLIER,
-    MIN_DATA_POINTS,
-    ROLLING_MIN_PERIODS,
-    ROLLING_WINDOW,
-    Z_SCORE_THRESHOLD,
-)
+from ..config import DEFAULT_CONFIG, RuntimeConfig
 from .performance import access_rows, error_rate_by_interval, traffic_by_interval
 
 
@@ -35,7 +29,9 @@ def _det_mean(col: str):
     return F.sum(F.col(col).cast("decimal(18,3)")).cast("double") / F.count(col)
 
 
-def response_time_zscore_anomalies(parsed: DataFrame) -> DataFrame:
+def response_time_zscore_anomalies(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """W1 (detector.py:35-64): |z| > threshold outliers of response_time over
     all access rows, z computed against the GLOBAL population mean/std.
     Emits anomaly records shaped per detector.py:184-191."""
@@ -55,9 +51,9 @@ def response_time_zscore_anomalies(parsed: DataFrame) -> DataFrame:
         F.col("sigma") > 0, (F.col("response_time") - F.col("mu")) / F.col("sigma")
     ).otherwise(F.lit(0.0))
     return (
-        joined.where(F.col("n") >= MIN_DATA_POINTS)
+        joined.where(F.col("n") >= cfg.min_data_points)
         .withColumn("z_score", z)
-        .where(F.abs(F.col("z_score")) > Z_SCORE_THRESHOLD)
+        .where(F.abs(F.col("z_score")) > cfg.z_score_threshold)
         .select(
             "conv_id",
             "turn_idx",
@@ -70,7 +66,9 @@ def response_time_zscore_anomalies(parsed: DataFrame) -> DataFrame:
     )
 
 
-def per_conv_zscore_anomalies(parsed: DataFrame) -> DataFrame:
+def per_conv_zscore_anomalies(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """Target-payload variant of W1: z-score within each conversation
     (Window.partitionBy(conv_id), unbounded frame). The per-conv gate mirrors
     min_data_points."""
@@ -91,9 +89,9 @@ def per_conv_zscore_anomalies(parsed: DataFrame) -> DataFrame:
         F.col("sigma") > 0, (F.col("response_time") - F.col("mu")) / F.col("sigma")
     ).otherwise(F.lit(0.0))
     return (
-        rows.where(F.col("n") >= MIN_DATA_POINTS)
+        rows.where(F.col("n") >= cfg.min_data_points)
         .withColumn("z_score", z)
-        .where(F.abs(F.col("z_score")) > Z_SCORE_THRESHOLD)
+        .where(F.abs(F.col("z_score")) > cfg.z_score_threshold)
         .select(
             "conv_id",
             "turn_idx",
@@ -106,7 +104,9 @@ def per_conv_zscore_anomalies(parsed: DataFrame) -> DataFrame:
 
 
 def traffic_rolling_anomalies(
-    parsed: DataFrame, interval: str = "1 hour"
+    parsed: DataFrame,
+    interval: str = "1 hour",
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """W2 (detector.py:66-101): rolling(5, min_periods=3) mean/std bands over
     the request-count series; NaN positions fall back to the global mean/std;
@@ -114,7 +114,7 @@ def traffic_rolling_anomalies(
     series = traffic_by_interval(parsed, interval)
     frame = (
         Window.orderBy("window_start")
-        .rowsBetween(-(ROLLING_WINDOW - 1), Window.currentRow)
+        .rowsBetween(-(cfg.rolling_window - 1), Window.currentRow)
     )
     g = series.agg(
         F.avg("n_requests").alias("gmean"),
@@ -131,16 +131,16 @@ def traffic_rolling_anomalies(
     rolled = rolled.crossJoin(F.broadcast(g))
     # pandas rolling yields NaN below min_periods; fillna(global)
     rmean = F.when(
-        F.col("rcount") >= ROLLING_MIN_PERIODS, F.col("rmean_raw")
+        F.col("rcount") >= cfg.rolling_min_periods, F.col("rmean_raw")
     ).otherwise(F.col("gmean"))
     rstd = F.coalesce(
-        F.when(F.col("rcount") >= ROLLING_MIN_PERIODS, F.col("rstd_raw")),
+        F.when(F.col("rcount") >= cfg.rolling_min_periods, F.col("rstd_raw")),
         F.col("gstd"),
     )
-    upper = rmean + F.lit(Z_SCORE_THRESHOLD) * rstd
-    lower = rmean - F.lit(Z_SCORE_THRESHOLD) * rstd
+    upper = rmean + F.lit(cfg.z_score_threshold) * rstd
+    lower = rmean - F.lit(cfg.z_score_threshold) * rstd
     return (
-        rolled.where(F.col("n_points") >= MIN_DATA_POINTS)
+        rolled.where(F.col("n_points") >= cfg.min_data_points)
         .withColumn("upper_bound", upper)
         .withColumn("lower_bound", lower)
         .where(
@@ -152,7 +152,9 @@ def traffic_rolling_anomalies(
 
 
 def error_rate_iqr_anomalies(
-    parsed: DataFrame, interval: str = "5 minutes"
+    parsed: DataFrame,
+    interval: str = "5 minutes",
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """W3 (detector.py:103-134): IQR upper-fence outliers (high side only)
     of the per-interval error-rate series. Emits records with
@@ -167,12 +169,12 @@ def error_rate_iqr_anomalies(
         F.count("*").alias("n_points"),
     )
     joined = series.crossJoin(F.broadcast(stats))
-    fence = F.col("q75") + F.lit(IQR_MULTIPLIER) * (F.col("q75") - F.col("q25"))
+    fence = F.col("q75") + F.lit(cfg.iqr_multiplier) * (F.col("q75") - F.col("q25"))
     z = F.when(
         F.col("sigma") > 0, (F.col("error_rate") - F.col("mu")) / F.col("sigma")
     ).otherwise(F.lit(0.0))
     return (
-        joined.where(F.col("n_points") >= MIN_DATA_POINTS)
+        joined.where(F.col("n_points") >= cfg.min_data_points)
         .where(F.col("error_rate") > fence)
         .select(
             F.col("window_start").alias("event_ts"),

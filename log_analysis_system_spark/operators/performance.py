@@ -16,11 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import (
-    METRIC_TIME_WINDOW,
-    MIN_ENDPOINT_SUPPORT,
-    SLOW_ENDPOINT_AVG,
-)
+from ..config import DEFAULT_CONFIG, RuntimeConfig
 
 
 
@@ -62,16 +58,22 @@ def endpoint_stats(parsed: DataFrame) -> DataFrame:
     )
 
 
-def slow_endpoints(parsed: DataFrame) -> DataFrame:
+def slow_endpoints(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """A3: HAVING mean_time > slow_endpoint_avg (performance.py:72-74)."""
-    return endpoint_stats(parsed).where(F.col("mean_time") > F.lit(SLOW_ENDPOINT_AVG))
+    return endpoint_stats(parsed).where(
+        F.col("mean_time") > F.lit(cfg.slow_endpoint_avg)
+    )
 
 
-def performance_metrics(parsed: DataFrame) -> DataFrame:
+def performance_metrics(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """A4+A5: long-format metric rows, 3 per endpoint with >=5 requests
     (performance.py:77-109). Unpivot via stack — no extra shuffle."""
     stats = endpoint_stats(parsed).where(
-        F.col("n_requests") >= F.lit(MIN_ENDPOINT_SUPPORT)
+        F.col("n_requests") >= F.lit(cfg.min_endpoint_support)
     )
     return stats.select(
         "endpoint",
@@ -81,7 +83,7 @@ def performance_metrics(parsed: DataFrame) -> DataFrame:
             "'p95_response_time', p95_time, "
             "'error_rate', error_rate) AS (metric_name, metric_value)"
         ),
-        F.lit(METRIC_TIME_WINDOW).alias("time_window"),
+        F.lit(cfg.metric_time_window).alias("time_window"),
     )
 
 
@@ -176,11 +178,15 @@ def response_stats_by_endpoint_timeframe(
     )
 
 
-def logs_by_timeframe(parsed: DataFrame, start: str, end: str) -> DataFrame:
-    """S10: timeframe select ORDER BY timestamp (database.py:298-320);
-    secondary sort on (conv_id, turn_idx) pins a total order."""
+def logs_by_timeframe(
+    parsed: DataFrame, start: str, end: str, log_type: str = "access"
+) -> DataFrame:
+    """S10: timeframe select ORDER BY timestamp (database.py:298-320 — the
+    reference's ``table`` parameter serves access_logs *or* error_logs;
+    here ``log_type`` selects the row class from the unified parsed frame).
+    Secondary sort on (conv_id, turn_idx) pins a total order."""
     return (
-        access_rows(parsed)
+        parsed.where(F.col("log_type") == log_type)
         .where(F.col("ts_parsed").between(F.lit(start), F.lit(end)))
         .orderBy("ts_parsed", "conv_id", "turn_idx")
     )

@@ -19,25 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..config import (
-    ATTACK_PATTERNS,
-    BRUTE_FORCE_STATUSES,
-    BRUTE_FORCE_THRESHOLD,
-    DANGEROUS_METHODS,
-    LOGIN_KEYWORDS,
-    SCAN_PATTERNS,
-    SEVERITY_WEIGHTS,
-    SUSPICIOUS_IPS,
-    THREAT_LEVEL_HIGH,
-    THREAT_LEVEL_MEDIUM,
-)
+from ..config import DEFAULT_CONFIG, RuntimeConfig
 from .performance import access_rows
 
 def _ORDER_KEY() -> Column:
     return F.struct(F.col("conv_id"), F.col("turn_idx"))
 
 
-def _first_match(col: Column, patterns: list[str]) -> Column:
+def _first_match(col: Column, patterns) -> Column:
     """O5: first-match-wins pattern pick (security.py:161-173 ``break``):
     a when-chain short-circuits per row, preserving 'one event per row,
     priority = pattern list order'. Patterns are searched case-insensitively
@@ -49,7 +38,7 @@ def _first_match(col: Column, patterns: list[str]) -> Column:
 
 
 def _pattern_events(
-    parsed: DataFrame, patterns: list[str], event_type: str, severity: str, desc: str
+    parsed: DataFrame, patterns, event_type: str, severity: str, desc: str
 ) -> DataFrame:
     rows = access_rows(parsed).where(F.col("endpoint").isNotNull())
     matched = rows.withColumn("_pat", _first_match(F.col("endpoint"), patterns))
@@ -65,38 +54,46 @@ def _pattern_events(
     )
 
 
-def attack_events(parsed: DataFrame) -> DataFrame:
+def attack_events(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """Attack-pattern detector (security.py:139-175): one high-severity event
     per access row whose endpoint matches any attack pattern."""
     return _pattern_events(
         parsed,
-        ATTACK_PATTERNS,
+        cfg.attack_patterns,
         "attack_pattern",
         "high",
         "Potential attack pattern detected: ",
     )
 
 
-def scan_events(parsed: DataFrame) -> DataFrame:
+def scan_events(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """Scan-attempt detector (security.py:177-213), severity medium."""
     return _pattern_events(
         parsed,
-        SCAN_PATTERNS,
+        cfg.scan_patterns,
         "scan_attempt",
         "medium",
         "Potential scanning attempt detected: ",
     )
 
 
-def suspicious_ip_dim(spark) -> DataFrame:
+def suspicious_ip_dim(spark, cfg: RuntimeConfig = DEFAULT_CONFIG) -> DataFrame:
     """S5/J1: the suspicious-IP lookup as a broadcast dimension
     (config/suspicious_ips.txt via security.py:50-82)."""
     return spark.createDataFrame(
-        [(ip,) for ip in SUSPICIOUS_IPS], ["ip_address"]
+        [(ip,) for ip in cfg.suspicious_ips], ["ip_address"]
     )
 
 
-def suspicious_ip_events(parsed: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+def suspicious_ip_events(
+    parsed: DataFrame,
+    dim: DataFrame | None = None,
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
+) -> DataFrame:
     """J1+A11 (security.py:215-247): keep rows whose IP is in the suspicious
     dim (broadcast semi-join FIRST — the reference groups all traffic then
     checks membership, but filter-before-aggregate is semantically identical
@@ -106,7 +103,7 @@ def suspicious_ip_events(parsed: DataFrame, dim: DataFrame | None = None) -> Dat
     then emit one event per IP with the deterministic first row's
     endpoint/timestamp and the request count."""
     if dim is None:
-        dim = suspicious_ip_dim(parsed.sparkSession)
+        dim = suspicious_ip_dim(parsed.sparkSession, cfg)
     rows = access_rows(parsed).where(F.col("ip_address").isNotNull())
     rows = rows.join(F.broadcast(dim), "ip_address", "left_semi")
     hits = rows.groupBy("ip_address").agg(
@@ -134,22 +131,24 @@ def suspicious_ip_events(parsed: DataFrame, dim: DataFrame | None = None) -> Dat
     )
 
 
-def login_filter() -> Column:
+def login_filter(cfg: RuntimeConfig = DEFAULT_CONFIG) -> Column:
     """security.py:266-269: login-keyword substring match (case-insensitive,
     null-safe false) AND failed status."""
-    kw = "|".join(LOGIN_KEYWORDS)
+    kw = "|".join(cfg.login_keywords)
     return (
         F.coalesce(F.col("endpoint").rlike("(?i)" + kw), F.lit(False))
-        & F.col("status").isin(BRUTE_FORCE_STATUSES)
+        & F.col("status").isin(list(cfg.brute_force_statuses))
     )
 
 
-def brute_force_events(parsed: DataFrame) -> DataFrame:
+def brute_force_events(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """A12 (security.py:249-292): failed-login count per IP, event when
     >= threshold. Timestamp NULL (reference stamps wall-clock)."""
-    rows = access_rows(parsed).where(login_filter())
+    rows = access_rows(parsed).where(login_filter(cfg))
     counts = rows.groupBy("ip_address").agg(F.count("*").alias("n_failed"))
-    return counts.where(F.col("n_failed") >= BRUTE_FORCE_THRESHOLD).select(
+    return counts.where(F.col("n_failed") >= cfg.brute_force_threshold).select(
         F.lit(None).cast("timestamp").alias("event_ts"),
         F.lit("brute_force_attempt").alias("event_type"),
         F.lit("high").alias("severity"),
@@ -166,11 +165,15 @@ def brute_force_events(parsed: DataFrame) -> DataFrame:
     )
 
 
-def unusual_method_events(parsed: DataFrame) -> DataFrame:
+def unusual_method_events(
+    parsed: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """A13 (security.py:294-330): per (method, ip) groups using dangerous
     methods — the reference's ``not in common and in dangerous`` reduces to
     the dangerous-set membership (security.py:318)."""
-    rows = access_rows(parsed).where(F.col("method").isin(DANGEROUS_METHODS))
+    rows = access_rows(parsed).where(
+        F.col("method").isin(list(cfg.dangerous_methods))
+    )
     grouped = rows.groupBy("method", "ip_address").agg(
         F.min_by("endpoint", _ORDER_KEY()).alias("endpoint"),
         F.min_by("ts_parsed", _ORDER_KEY()).alias("event_ts"),
@@ -198,26 +201,32 @@ def unusual_method_events(parsed: DataFrame) -> DataFrame:
     )
 
 
-def all_security_events(parsed: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+def all_security_events(
+    parsed: DataFrame,
+    dim: DataFrame | None = None,
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
+) -> DataFrame:
     """O4 (security.py:120-126): union of the five detectors. The parsed
     frame should be persisted by the caller when fanning out — the five
     detectors share one scan."""
     return (
-        attack_events(parsed)
-        .unionByName(scan_events(parsed))
-        .unionByName(suspicious_ip_events(parsed, dim))
-        .unionByName(brute_force_events(parsed))
-        .unionByName(unusual_method_events(parsed))
+        attack_events(parsed, cfg)
+        .unionByName(scan_events(parsed, cfg))
+        .unionByName(suspicious_ip_events(parsed, dim, cfg))
+        .unionByName(brute_force_events(parsed, cfg))
+        .unionByName(unusual_method_events(parsed, cfg))
     )
 
 
-def ip_threat_scores(events: DataFrame) -> DataFrame:
+def ip_threat_scores(
+    events: DataFrame, cfg: RuntimeConfig = DEFAULT_CONFIG
+) -> DataFrame:
     """A14 (security.py:332-385): per-IP weighted score, per-type counts
     (pivoted to fixed columns for stable schema), and threat level."""
     weight = (
-        F.when(F.col("severity") == "low", F.lit(SEVERITY_WEIGHTS["low"]))
-        .when(F.col("severity") == "medium", F.lit(SEVERITY_WEIGHTS["medium"]))
-        .when(F.col("severity") == "high", F.lit(SEVERITY_WEIGHTS["high"]))
+        F.when(F.col("severity") == "low", F.lit(cfg.severity_weights["low"]))
+        .when(F.col("severity") == "medium", F.lit(cfg.severity_weights["medium"]))
+        .when(F.col("severity") == "high", F.lit(cfg.severity_weights["high"]))
         .otherwise(F.lit(1))
     )
     scored = (
@@ -233,8 +242,8 @@ def ip_threat_scores(events: DataFrame) -> DataFrame:
         )
     )
     level = (
-        F.when(F.col("score") >= THREAT_LEVEL_HIGH, F.lit("high"))
-        .when(F.col("score") >= THREAT_LEVEL_MEDIUM, F.lit("medium"))
+        F.when(F.col("score") >= cfg.threat_level_high, F.lit("high"))
+        .when(F.col("score") >= cfg.threat_level_medium, F.lit("medium"))
         .otherwise(F.lit("low"))
     )
     return scored.withColumn("threat_level", level)

@@ -356,42 +356,28 @@ def ivf_assignments(
     return assign(centroids), centroids
 
 
-def ann_ivf(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = DEFAULT_K,
-    lists: int = IVF_LISTS,
-    nprobe: int = IVF_NPROBE,
-) -> DataFrame:
-    """IVF ANN: coarse-quantize the corpus into ``lists`` inverted lists;
-    each query probes its ``nprobe`` nearest centroids and scores only
-    those lists' vectors exactly. Approximate (no SQL oracle); tests check
-    recall + determinism vs brute force. At scale the corpus is
-    partitioned BY list_id (Iceberg partition transform), so a probe
-    reads ~nprobe/lists of the data."""
-    assignments, centroids = ivf_assignments(emb, k=lists)
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).join(
-        assignments.select(F.col("vec_id").alias("neighbor_id"), "list_id"),
-        "neighbor_id",
-    )
-
-    # probe lists driver-side: queries are few; centroid distances are a
-    # k x dim numpy op per query row
+def probe_rows_for(
+    centroids, queries: DataFrame, nprobe: int = IVF_NPROBE
+) -> list[tuple[int, list[float], int]]:
+    """Driver-side probe-set computation: for each query vector, its
+    ``nprobe`` nearest centroids (queries are few; each is one k x dim
+    NumPy op). Returns (query_id, qv, list_id) rows."""
     cent_mat = _centroid_matrix(centroids)
     qrows = queries.select("vec_id", "embedding").collect()
-    probe_rows = []
+    rows = []
     for r in qrows:
         qv = np.array(r["embedding"], dtype=np.float64)
         d = ((cent_mat - qv[None, :]) ** 2).sum(axis=1)
         for li in np.argsort(d, kind="stable")[:nprobe]:
-            probe_rows.append((r["vec_id"], list(map(float, qv)), int(li)))
-    probed = emb.sparkSession.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, list_id int"
-    )
+            rows.append((r["vec_id"], list(map(float, qv)), int(li)))
+    return rows
 
+
+def _score_probed(
+    c: DataFrame, probed: DataFrame, k: int
+) -> DataFrame:
+    """Shared IVF tail: join corpus rows (neighbor_id, cv, list_id) to the
+    broadcast probe rows on list_id, exact cosine, per-query top-k."""
     cand = c.join(
         F.broadcast(probed),
         (c["list_id"] == probed["list_id"])
@@ -412,3 +398,81 @@ def ann_ivf(
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``lists`` inverted lists;
+    each query probes its ``nprobe`` nearest centroids and scores only
+    those lists' vectors exactly. Approximate (no SQL oracle); tests check
+    recall + determinism vs brute force. At scale the corpus is
+    partitioned BY list_id — see :func:`write_ivf_partitioned` /
+    :func:`ann_ivf_partitioned` for the materialized layout where a probe
+    becomes a partition-pruned scan reading ~nprobe/lists of the files
+    (asserted by ``test_dataops.test_ivf_partition_pruning``)."""
+    assignments, centroids = ivf_assignments(emb, k=lists)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).join(
+        assignments.select(F.col("vec_id").alias("neighbor_id"), "list_id"),
+        "neighbor_id",
+    )
+    probed = emb.sparkSession.createDataFrame(
+        probe_rows_for(centroids, queries, nprobe),
+        "query_id long, qv array<double>, list_id int",
+    )
+    return _score_probed(c, probed, k)
+
+
+def write_ivf_partitioned(
+    emb: DataFrame,
+    path: str,
+    lists: int = IVF_LISTS,
+    iterations: int = IVF_ITERATIONS,
+):
+    """Materialize the corpus partitioned by inverted list — the storage
+    layout behind IVF at scale (parquet ``partitionBy(list_id)`` here;
+    Iceberg ``PARTITIONED BY (list_id)`` on a real catalog). Returns the
+    trained centroids; pair with :func:`ann_ivf_partitioned`, whose probes
+    then read only the probed lists' files (partition pruning)."""
+    assignments, centroids = ivf_assignments(emb, k=lists, iterations=iterations)
+    (
+        emb.join(assignments, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ann_ivf_partitioned(
+    spark,
+    path: str,
+    centroids,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF probe over a :func:`write_ivf_partitioned` layout: the
+    ``list_id IN (probe set)`` filter is a partition predicate, so the scan
+    never opens files outside the probed lists (at 100 TB: I/O scales with
+    nprobe/lists, not corpus size). Result-identical to :func:`ann_ivf`
+    given the same centroids."""
+    rows = probe_rows_for(centroids, queries, nprobe)
+    need = sorted({li for _, _, li in rows})
+    corpus = spark.read.parquet(path).where(F.col("list_id").isin(need))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        "list_id",
+    )
+    probed = spark.createDataFrame(
+        rows, "query_id long, qv array<double>, list_id int"
+    )
+    return _score_probed(c, probed, k)

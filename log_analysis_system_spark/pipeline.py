@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import state as st
+from .config import DEFAULT_CONFIG, RuntimeConfig
 from .functions.parse import parse_transcripts
 from .operators import anomaly as an
 from .operators import performance as perf
@@ -88,8 +89,25 @@ def run_pipeline(
     parse_engine: str = "pandas",
     resume: bool = True,
     fail_after_route: bool = False,
+    analyze_only: bool = False,
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> PipelineResult:
-    """``fail_after_route`` simulates a mid-run crash for resume tests."""
+    """``fail_after_route`` simulates a mid-run crash for resume tests.
+    ``analyze_only`` skips the route stage entirely and re-runs the
+    aggregate stage over the existing ``parsed_turns`` sink (the
+    reference's ``main.py --analyze-only`` semantics). ``cfg`` threads
+    runtime-loaded thresholds/patterns into every stage."""
+    if analyze_only:
+        if not catalog.table_exists(spark, output_dir, "parsed_turns"):
+            raise FileNotFoundError(
+                f"--analyze-only requires an existing parsed_turns sink "
+                f"under {output_dir}"
+            )
+        result = PipelineResult(run_id, [], sorted(range(n_buckets)))
+        _aggregate_stage(spark, output_dir, run_id, result, n_buckets, cfg)
+        result.aggregate_ran = True
+        return result
+
     done = (
         st.completed_buckets(spark, output_dir, run_id, "route") if resume else set()
     )
@@ -102,7 +120,7 @@ def run_pipeline(
         if done:
             bucketed = bucketed.where(F.col("bucket").isin(pending))
         _route_stage(spark, bucketed, output_dir, run_id, result, parse_engine,
-                     set(pending), n_buckets)
+                     set(pending), n_buckets, cfg)
 
     if fail_after_route:
         return result
@@ -110,7 +128,7 @@ def run_pipeline(
     agg_done = st.completed_buckets(spark, output_dir, run_id, "aggregate")
     if resume and -1 in agg_done:
         return result
-    _aggregate_stage(spark, output_dir, run_id, result, n_buckets)
+    _aggregate_stage(spark, output_dir, run_id, result, n_buckets, cfg)
     result.aggregate_ran = True
     return result
 
@@ -135,6 +153,7 @@ def _route_stage(
     parse_engine: str,
     pending: set[int],
     n_buckets: int,
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> None:
     with st.StageTimer() as t:
         # ONE shuffle into bucket layout BEFORE the parse: raw turns are the
@@ -145,7 +164,7 @@ def _route_stage(
         # bucket(n, conv_id)). The bucket is the unit of parallelism,
         # lineage, and resume.
         bucketed = bucketed.repartition(n_buckets, "bucket")
-        enriched = enrich(parse_transcripts(bucketed, engine=parse_engine))
+        enriched = enrich(parse_transcripts(bucketed, engine=parse_engine, cfg=cfg))
         enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
         # one grouped-count job covers parsed/error/reject lineage metrics
@@ -177,8 +196,8 @@ def _route_stage(
         # per-row detectors only (global detectors run in the aggregate
         # stage); bucket survives from the enriched frame's layout
         row_events = (
-            sec.attack_events(enriched)
-            .unionByName(sec.scan_events(enriched))
+            sec.attack_events(enriched, cfg)
+            .unionByName(sec.scan_events(enriched, cfg))
             .withColumn("bucket", _bucket("conv_id", n_buckets))
         )
         row_events.persist(StorageLevel.MEMORY_AND_DISK)
@@ -243,15 +262,16 @@ def _aggregate_stage(
     run_id: str,
     result: PipelineResult,
     n_buckets: int,
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> None:
     with st.StageTimer() as t:
         parsed = catalog.read_table(spark, output_dir, "parsed_turns")
         parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
         agg_events = (
-            sec.suspicious_ip_events(parsed)
-            .unionByName(sec.brute_force_events(parsed))
-            .unionByName(sec.unusual_method_events(parsed))
+            sec.suspicious_ip_events(parsed, cfg=cfg)
+            .unionByName(sec.brute_force_events(parsed, cfg))
+            .unionByName(sec.unusual_method_events(parsed, cfg))
             .withColumn(
                 "bucket",
                 F.coalesce(_bucket("conv_id", n_buckets), F.lit(-1)),
@@ -259,12 +279,12 @@ def _aggregate_stage(
         )
         agg_events.persist(StorageLevel.MEMORY_AND_DISK)
 
-        metrics = perf.performance_metrics(parsed)
-        anomalies = an.response_time_zscore_anomalies(parsed).select(
+        metrics = perf.performance_metrics(parsed, cfg)
+        anomalies = an.response_time_zscore_anomalies(parsed, cfg).select(
             "conv_id", "turn_idx", "event_ts", "metric_name",
             "expected_value", "actual_value", "z_score",
         ).unionByName(
-            an.error_rate_iqr_anomalies(parsed).select(
+            an.error_rate_iqr_anomalies(parsed, cfg=cfg).select(
                 F.lit(None).cast("string").alias("conv_id"),
                 F.lit(None).cast("int").alias("turn_idx"),
                 "event_ts", "metric_name",
@@ -304,13 +324,14 @@ def _aggregate_stage(
             all_events = agg_events.drop("bucket")
             if row_events is not None:
                 all_events = all_events.unionByName(row_events.drop("bucket"))
-            scores = sec.ip_threat_scores(all_events)
+            scores = sec.ip_threat_scores(all_events, cfg)
             result.sink_counts["ip_threat_scores"] = _write_observed(
                 scores, output_dir, "ip_threat_scores"
             )
 
             st.throttle_alerts(
-                spark, output_dir, all_events.where(F.col("severity") == "high"), run_id
+                spark, output_dir, all_events.where(F.col("severity") == "high"),
+                run_id, cfg=cfg,
             )
         finally:
             agg_events.unpersist()

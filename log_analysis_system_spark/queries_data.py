@@ -130,6 +130,15 @@ def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(mm.attach_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_image_features(spark, sf_dir):
+    """Real decode path: deterministic P6 payload per doc -> pure-Python
+    Netpbm decode -> per-channel pixel means (analytic oracle)."""
+    df = mm.extract_features(mm.attach_ppm_payload(_docs(spark, sf_dir)))
+    for c in ("mean_c0", "mean_c1", "mean_c2"):
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -148,6 +157,7 @@ QUERIES = {
     "text_language_id": q_text_language_id,
     "text_fingerprints": q_text_fingerprints,
     "multimodal_features": q_multimodal_features,
+    "multimodal_image_features": q_multimodal_image_features,
 }
 
 
@@ -344,8 +354,38 @@ SELECT doc_id,
        'text/plain' AS mime,
        octet_length(encode(text))::INT AS n_bytes,
        unicode(substr(text, 1, 1))::INT AS first_byte,
-       unicode(substr(text, length(text), 1))::INT AS last_byte
+       unicode(substr(text, length(text), 1))::INT AS last_byte,
+       CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS channels,
+       CAST(NULL AS DOUBLE) AS mean_c0,
+       CAST(NULL AS DOUBLE) AS mean_c1,
+       CAST(NULL AS DOUBLE) AS mean_c2
 FROM documents ORDER BY doc_id
+""",
+    # analytic mirror of operators/multimodal.make_ppm: header 'P6\\nW H\\n255\\n'
+    # is 11 bytes (single-digit dims), pixel i = (doc_id*31 + i) % 256
+    "multimodal_image_features": """
+WITH dims AS (
+  SELECT doc_id, 2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, i, (doc_id * 31 + i) % 256 AS v, i % 3 AS c
+  FROM dims CROSS JOIN range(0, 48) t(i)
+  WHERE i < w * h * 3
+)
+SELECT doc_id,
+       'image/x-portable-pixmap' AS mime,
+       CAST(11 + max(w) * max(h) * 3 AS INT) AS n_bytes,
+       CAST(80 AS INT) AS first_byte,
+       CAST((doc_id * 31 + max(w) * max(h) * 3 - 1) % 256 AS INT) AS last_byte,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       round(avg(v) FILTER (c = 0), 6) AS mean_c0,
+       round(avg(v) FILTER (c = 1), 6) AS mean_c1,
+       round(avg(v) FILTER (c = 2), 6) AS mean_c2
+FROM px GROUP BY doc_id ORDER BY doc_id
 """,
 }
 ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]

@@ -240,6 +240,16 @@ def q_timeframe_logs(spark, sf_dir):
     return df.select("conv_id", "turn_idx", "ts_parsed", "ip_address", "endpoint", "status")
 
 
+def q_error_timeframe_logs(spark, sf_dir):
+    """S10 over the error-log table (database.py:298-320 ``table`` param)."""
+    df = perf.logs_by_timeframe(
+        load_parsed(spark, sf_dir),
+        "2024-01-02 00:00:00", "2024-01-05 00:00:00",
+        log_type="error",
+    )
+    return df.select("conv_id", "turn_idx", "ts_parsed", "level", "module", "message")
+
+
 def q_endpoint_stats_timeframe(spark, sf_dir):
     df = perf.response_stats_by_endpoint_timeframe(
         load_parsed(spark, sf_dir), "2024-01-02 00:00:00", "2024-01-05 00:00:00"
@@ -471,6 +481,12 @@ SELECT conv_id, turn_idx, ts_parsed, ip_address, endpoint, status
 FROM parsed
 WHERE {_ACCESS} AND ts_parsed BETWEEN TIMESTAMP '2024-01-02 00:00:00'
   AND TIMESTAMP '2024-01-05 00:00:00'""",
+    "error_timeframe_logs": P
+    + """
+SELECT conv_id, turn_idx, ts_parsed, level, module, message
+FROM parsed
+WHERE log_type = 'error' AND ts_parsed BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+  AND TIMESTAMP '2024-01-05 00:00:00'""",
     "endpoint_stats_timeframe": P
     + f"""
 SELECT endpoint, count(*) AS request_count,
@@ -697,6 +713,7 @@ QUERIES = {
     "peak_traffic": q_peak_traffic,
     "error_rate_5min": q_error_rate_5min,
     "timeframe_logs": q_timeframe_logs,
+    "error_timeframe_logs": q_error_timeframe_logs,
     "endpoint_stats_timeframe": q_endpoint_stats_timeframe,
     "daily_summary": q_daily_summary,
     "format_detection": q_format_detection,

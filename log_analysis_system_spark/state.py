@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .config import THROTTLE_PERIOD
+from .config import DEFAULT_CONFIG, RuntimeConfig
 from .sources import catalog
 
 STATE_SCHEMA = StructType(
@@ -112,10 +112,11 @@ def throttle_alerts(
     alerts: DataFrame,
     run_id: str,
     now_epoch: int | None = None,
+    cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """Batch alert throttling with notifier.py:50-77 semantics: one alert per
     alert_type passes if the last recorded send is older than
-    ``THROTTLE_PERIOD`` seconds relative to ``now_epoch`` (defaults to the
+    ``cfg.throttle_period`` seconds relative to ``now_epoch`` (defaults to the
     batch's max event time — data-derived, so reruns are deterministic).
     Sent alerts are recorded back into the alert-state table."""
     if now_epoch is None:
@@ -141,7 +142,7 @@ def throttle_alerts(
 
     passed = candidates.where(
         F.col("last_sent_epoch").isNull()
-        | (F.lit(now_epoch) - F.col("last_sent_epoch") > F.lit(THROTTLE_PERIOD))
+        | (F.lit(now_epoch) - F.col("last_sent_epoch") > F.lit(cfg.throttle_period))
     )
 
     sent = passed.select(

@@ -57,7 +57,8 @@ def parsed5(spark):
     ]
     df = parse_transcripts(make_transcripts(spark, rows))
     df.persist()
-    return df
+    yield df
+    df.unpersist()
 
 
 def test_overall_mean(parsed5):

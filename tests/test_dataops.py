@@ -180,9 +180,41 @@ def test_multimodal_plumbing(spark):
     assert r.mime == "text/plain" and 32 <= r.first_byte < 127
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+def test_decode_non_image_falls_back_to_byte_features():
+    out = mm.decode_image(b"\x89PNG")
+    assert out["n_bytes"] == 4 and out["first_byte"] == 0x89
+    assert out["width"] is None and out["mean_c0"] is None
+
+
+def test_decode_ppm_real():
+    # 2x1 RGB: pixels (10,20,30) and (40,50,60); comment in the header
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    out = mm.decode_image(payload)
+    assert (out["width"], out["height"], out["channels"]) == (2, 1, 3)
+    assert (out["mean_c0"], out["mean_c1"], out["mean_c2"]) == (25.0, 35.0, 45.0)
+
+
+def test_decode_pgm_real():
+    payload = b"P5\n3 1\n255\n" + bytes([0, 100, 200])
+    out = mm.decode_image(payload)
+    assert (out["width"], out["height"], out["channels"]) == (3, 1, 1)
+    assert out["mean_c0"] == 100.0 and out["mean_c1"] is None
+
+
+def test_decode_ppm_truncated_raises():
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image(b"P6\n2 2\n255\n\x00\x00")
+    with pytest.raises(ValueError, match="not supported"):
+        mm.decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_make_ppm_decode_round_trip():
+    for doc_id in (0, 1, 2, 5, 7):
+        out = mm.decode_image(mm.make_ppm(doc_id))
+        assert (out["width"], out["height"]) == (2 + doc_id % 3, 2 + doc_id % 2)
+        n = out["width"] * out["height"] * 3
+        expected_c0 = sum((doc_id * 31 + i) % 256 for i in range(0, n, 3)) / (n / 3)
+        assert abs(out["mean_c0"] - expected_c0) < 1e-9
 
 
 def test_dedup_components_chain(spark):
@@ -238,3 +270,49 @@ def test_ann_ivf_fullprobe_equals_brute_force(spark):
         ).collect()
     ]
     assert full == exact and exact
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """The materialized IVF layout makes a probe a partition-pruned scan:
+    only the probed lists' parquet files are opened, and the result is
+    row-identical to the in-memory ann_ivf with the same centroids."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # few queries so the probe set stays a strict subset of the 16 lists
+    q = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_corpus")
+    centroids = sim.write_ivf_partitioned(emb, path, lists=sim.IVF_LISTS)
+
+    rows = sim.probe_rows_for(centroids, q, nprobe=sim.IVF_NPROBE)
+    need = sorted({li for _, _, li in rows})
+    assert 0 < len(need) < sim.IVF_LISTS  # probes must not touch all lists
+
+    def files_read(df):
+        # files actually opened at execution (inputFiles() reports the
+        # relation's full file list BEFORE partition pruning)
+        return {r.f for r in df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+    full_files = files_read(spark.read.parquet(path))
+    pruned_scan = spark.read.parquet(path).where(F.col("list_id").isin(need))
+    pruned_files = files_read(pruned_scan)
+    # only files under probed lists' directories are opened
+    assert pruned_files and pruned_files < full_files
+    assert all(
+        any(f"list_id={li}/" in f for li in need) for f in pruned_files
+    )
+    # the pruning is a partition predicate, visible in the physical plan
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    got = [
+        tuple(r)
+        for r in sim.ann_ivf_partitioned(
+            spark, path, centroids, q, k=3, nprobe=sim.IVF_NPROBE
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in sim.ann_ivf(
+            emb, q, k=3, lists=sim.IVF_LISTS, nprobe=sim.IVF_NPROBE
+        ).collect()
+    ]
+    assert got == want and got

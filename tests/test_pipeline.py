@@ -18,7 +18,8 @@ def transcripts(spark):
     df = synth_transcripts(spark, n_turns=4000, n_convs=40)
     df.persist()
     df.count()
-    return df
+    yield df
+    df.unpersist()
 
 
 def _read(spark, out, name):
