@@ -35,13 +35,16 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word-k-gram shingles of ``col``; empty array when < k words.
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct word-k-gram shingles from a MATERIALIZED token-array column.
 
-    Matches the DuckDB comprehension
-    ``list_distinct([t[i]||' '||...   for i in range(1, len(t)-k+2)])``.
+    ``t`` must be a plain column reference (not an expression): higher-order
+    functions run interpreted and inline their argument subtree into the
+    lambda, so a ``split(text)`` subtree here would be re-evaluated per
+    element per gram position — O(words² · k) splits per document (measured
+    ~4 s -> ~0.4 s on 5k sf0.1 documents when tokenized in a prior
+    projection). Same pitfall as ``shingle_hashes``.
     """
-    t = tokens(col)
     return F.when(
         F.size(t) >= k,
         F.array_distinct(
@@ -53,6 +56,18 @@ def shingles(col: Column, k: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word-k-gram shingles of a TEXT column; empty array when
+    < k words. Matches the DuckDB comprehension
+    ``list_distinct([t[i]||' '||...   for i in range(1, len(t)-k+2)])``.
+
+    NOTE: prefer tokenizing in a separate projection and calling
+    :func:`shingles_from_tokens` — this convenience form inlines the
+    ``split`` into the interpreted lambda (see there for the cost).
+    """
+    return shingles_from_tokens(tokens(col), k)
 
 
 def duck_shingles_cte(table: str = "documents", k: int = 3) -> str:
@@ -113,15 +128,22 @@ def minhash_signature(hash_col: Column, n_hashes: int) -> Column:
     )
 
 
-def simhash32(feature_col: Column) -> Column:
-    """32-bit SimHash over a (distinct) string-feature array.
+def feature_hashes32(feature_col: Column) -> Column:
+    """Per-feature 32-bit hash array (60-bit md5 prefix mod 2^32).
 
-    Per-feature 60-bit md5 hash, low 32 bits; bit j of the signature is set
-    when strictly more features have bit j set than clear. Reproduced
-    verbatim by :func:`duck_simhash32_sql` on the oracle side.
-    """
-    hs = F.transform(feature_col, lambda s: md5_hash60(s) % F.lit(4294967296))
-    n = F.size(feature_col)
+    Materialize this in its OWN projection before
+    :func:`simhash32_from_hashes`: the 32 bit-count filters each inline
+    their argument subtree when evaluated interpreted, so an unmaterialized
+    transform here would md5-hash every feature 32 times (measured ~6 s ->
+    ~2 s on the sf0.1 simhash query)."""
+    return F.transform(feature_col, lambda s: md5_hash60(s) % F.lit(4294967296))
+
+
+def simhash32_from_hashes(hs: Column, n: Column) -> Column:
+    """32-bit SimHash from a MATERIALIZED hash-array column ``hs`` (from
+    :func:`feature_hashes32`) and the feature count ``n``: bit j of the
+    signature is set when strictly more features have bit j set than clear.
+    Reproduced verbatim by :func:`duck_simhash32_sql` on the oracle side."""
     bits = []
     for j in range(32):
         ones = F.size(F.filter(hs, _bit_test(j)))
@@ -132,6 +154,15 @@ def simhash32(feature_col: Column) -> Column:
     for b in bits[1:]:
         total = total + b
     return total.cast("bigint")
+
+
+def simhash32(feature_col: Column) -> Column:
+    """32-bit SimHash over a (distinct) string-feature array — convenience
+    form; prefer hashing in a separate projection via
+    :func:`feature_hashes32` + :func:`simhash32_from_hashes` (see there)."""
+    return simhash32_from_hashes(
+        feature_hashes32(feature_col), F.size(feature_col)
+    )
 
 
 def duck_simhash32_sql(hashes_expr: str, size_expr: str) -> str:

@@ -27,10 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.texthash import (
+    feature_hashes32,
     minhash_signature,
     shingle_hashes,
-    shingles,
-    simhash32,
+    shingles_from_tokens,
+    simhash32_from_hashes,
+    tokens,
 )
 
 JACCARD_THRESHOLD = 0.8
@@ -69,8 +71,22 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_docs(docs: DataFrame, k: int) -> DataFrame:
-    return docs.select("doc_id", shingles(F.col("text"), k).alias("ts"))
+def _shingle_docs(docs: DataFrame, k: int, nonempty: bool = False) -> DataFrame:
+    # tokenize in its own projection: the shingle HOF runs interpreted and
+    # would re-evaluate an inlined split(text) per element per gram slot
+    # (see texthash.shingles_from_tokens).
+    #
+    # ``nonempty`` filters on the TOKEN count (size(t) >= k <=> ts != []),
+    # NOT with a downstream where(size(ts) > 0): predicate pushdown would
+    # substitute the full shingle expression into an interpreted Filter,
+    # re-splitting the text per element — measured 0.3 s -> 4.1 s on 5k
+    # sf0.1 docs for that one predicate.
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    if nonempty:
+        tok = tok.where(F.size("t") >= k)
+    return tok.select(
+        "doc_id", shingles_from_tokens(F.col("t"), k).alias("ts")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -147,7 +163,7 @@ def minhash_lsh_pairs(
     # real cluster cannot recompute the lost blocks (persist() would); at
     # the 10^12-row design point prefer reliable checkpoints to cluster
     # storage, or persist+unpersist, when executor churn is expected.
-    sh = _shingle_docs(docs, k).where(F.size("ts") > 0).localCheckpoint(eager=False)
+    sh = _shingle_docs(docs, k, nonempty=True).localCheckpoint(eager=False)
     # Two projections on purpose: hash each shingle string once, then take
     # the 36 seeded minima over the 8-byte hashes (HOFs are interpreted and
     # inline their argument subtree — see texthash.shingle_hashes).
@@ -209,7 +225,18 @@ def simhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     md5-derived feature hashes — the oracle recomputes the identical
     signature)."""
     sh = _shingle_docs(docs, k)
-    return sh.select("doc_id", simhash32(F.col("ts")).alias("simhash"))
+    # hash every shingle ONCE in its own projection — the 32 interpreted
+    # bit-count filters would otherwise each inline (and re-run) the md5
+    # transform (see texthash.feature_hashes32)
+    hashed = sh.select(
+        "doc_id",
+        feature_hashes32(F.col("ts")).alias("hs"),
+        F.size("ts").alias("n"),
+    )
+    return hashed.select(
+        "doc_id",
+        simhash32_from_hashes(F.col("hs"), F.col("n")).alias("simhash"),
+    )
 
 
 def simhash_pairs(

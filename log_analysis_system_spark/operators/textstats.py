@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.texthash import md5_hash60, shingles, tokens
+from ..functions.texthash import md5_hash60, shingles_from_tokens, tokens
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
 # (same char classes in Spark's Java regex and DuckDB's RE2).
@@ -114,12 +114,15 @@ def fingerprints(docs: DataFrame, k: int = 3, n: int = 4) -> DataFrame:
     """Bottom-n sketch fingerprint: the n smallest md5-60bit shingle hashes
     per doc (a fixed-size, order-insensitive content signature usable for
     near-dup blocking and set-similarity estimation at scale)."""
-    sh = shingles(F.col("text"), k)
-    # Two projections: materialize the sorted hash array once, then pick n
-    # elements — referencing the array expression n times would re-run the
-    # shingle+md5 pass per fingerprint column (no CSE across projections
-    # of non-cheap exprs referenced once; inlined when referenced n times).
-    hashed = docs.select(
+    # Tokenize in its own projection (the shingle HOF inlines its argument
+    # subtree — see texthash.shingles_from_tokens), then materialize the
+    # sorted hash array once before picking n elements — referencing the
+    # array expression n times would re-run the shingle+md5 pass per
+    # fingerprint column (no CSE across projections of non-cheap exprs
+    # referenced once; inlined when referenced n times).
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    sh = shingles_from_tokens(F.col("t"), k)
+    hashed = tok.select(
         "doc_id", F.array_sort(F.transform(sh, md5_hash60)).alias("hs")
     )
     cols = [
