@@ -251,8 +251,16 @@ def q_error_timeframe_logs(spark, sf_dir):
 
 
 def q_endpoint_stats_timeframe(spark, sf_dir):
+    # pandas parse engine here on purpose: the ts_parsed BETWEEN filter
+    # pushes below a SQL-engine projection by SUBSTITUTING the whole parse
+    # cascade into the filter condition — an unsplittable boolean expr that
+    # blows the 64KB whole-stage-codegen method limit (janino fallback to
+    # interpreted, observed at sf0.01) and re-runs the regexes per row. The
+    # Arrow UDF is a pushdown barrier: parse evaluates once, filter runs on
+    # the materialized column.
     df = perf.response_stats_by_endpoint_timeframe(
-        load_parsed(spark, sf_dir), "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+        load_parsed(spark, sf_dir, engine="pandas"),
+        "2024-01-02 00:00:00", "2024-01-05 00:00:00",
     )
     return _r6(df, "avg_response_time")
 
@@ -351,7 +359,11 @@ def q_turn_ordering_check(spark, sf_dir):
 
 
 def q_conversation_alert_rates(spark, sf_dir):
-    parsed = load_parsed(spark, sf_dir)
+    # lazy localCheckpoint (same policy as q_security_events): the 5-detector
+    # union otherwise inlines the parse cascade per branch — 5x the parse
+    # compute AND a >64KB whole-stage method that falls back to interpreted
+    # (janino "Code grows beyond 64 KB" observed at sf0.01).
+    parsed = load_parsed(spark, sf_dir).localCheckpoint(eager=False)
     events = sec.all_security_events(parsed)
     return _r6(win.conversation_alert_rates(parsed, events), "alert_rate")
 
