@@ -119,6 +119,55 @@ def test_dedup_plans_have_no_per_group_arrays(spark, registry):
         )
 
 
+def test_filtered_parse_queries_avoid_codegen_blowup(spark, registry):
+    """Filtering a parse-DERIVED column below a SQL-engine parse projection
+    substitutes the whole regex cascade into one unsplittable boolean —
+    blowing the 64KB whole-stage-codegen method limit (janino fallback to
+    interpreted) and re-running the regexes per row. The two affected
+    queries route through a pushdown BARRIER instead: the Arrow pandas-UDF
+    parse (endpoint_stats_timeframe) or a lazy localCheckpoint
+    (conversation_alert_rates). Regression = the parse regexes reappear in
+    the optimized plan."""
+    p = _plan(spark, "endpoint_stats_timeframe",
+              registry["endpoint_stats_timeframe"])
+    assert "ArrowEvalPython" in p, "lost the Arrow parse barrier"
+    assert "regexp_extract" not in p
+
+    p = _plan(spark, "conversation_alert_rates",
+              registry["conversation_alert_rates"])
+    assert "ExistingRDD" in p, "lost the localCheckpoint barrier"
+    assert "regexp_extract" not in p, (
+        "parse cascade inlined per union branch again"
+    )
+
+
+def test_shingle_pipelines_never_inline_the_tokenizer(spark, registry):
+    """Higher-order functions run interpreted and inline their argument
+    subtree into the lambda — a split(text) reaching a shingle/minhash
+    lambda re-splits the document per element per gram slot (O(words^2·k)).
+    Constraint inference (size(ts) > 0 from Generate, isnotnull(size(ts))
+    from joins) can re-substitute the expression below the token projection,
+    so the shingle frame must sit behind a localCheckpoint barrier in every
+    multi-consumer dedup plan. Regression = split( inside a lambdafunction
+    anywhere in the plan (measured 13.7 s -> 1.5 s at sf0.1 for ngram)."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
+        p = _plan(spark, name, registry[name])
+        assert not re.search(r"lambdafunction[^\n]*split\(", p), (
+            f"{name}: tokenizer inlined into an interpreted HOF lambda"
+        )
+        assert "ExistingRDD" in p, f"{name}: lost the shingle barrier"
+
+
+def test_dim_frames_are_memoized_per_session(spark):
+    """createDataFrame pays a Python->JVM round trip per call; the four
+    tiny dim frames are lru_cached per (session, name) so repeated enrich
+    calls reuse one frame."""
+    from log_analysis_system_spark.sources import dims
+
+    assert dims.status_dim(spark) is dims.status_dim(spark)
+    assert dims.role_dim(spark) is dims.role_dim(spark)
+
+
 def test_timeframe_filter_runs_before_shuffle(spark, registry):
     """ts_parsed comes out of the parse projection, so the timeframe
     predicate cannot reach the scan — but Catalyst must still place it
