@@ -32,6 +32,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(_DATA_QUERIES)
     except ImportError:
         pass
+    try:
+        from log_analysis_system_spark.queries_events import QUERIES as _EVENT_QUERIES
+
+        out.update(_EVENT_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -42,6 +48,12 @@ def oracle_sql() -> dict[str, str]:
         from log_analysis_system_spark.queries_data import ORACLES as _DATA_ORACLES
 
         out.update(_DATA_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from log_analysis_system_spark.queries_events import ORACLES as _EVENT_ORACLES
+
+        out.update(_EVENT_ORACLES)
     except ImportError:
         pass
     return out

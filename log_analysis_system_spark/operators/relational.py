@@ -1,0 +1,297 @@
+"""Relational / temporal operators over the ``events`` stream table.
+
+Operators the reference's query surface implies but Spark has no single
+built-in for — each implemented as a composition of DataFrame ops with an
+explicit 100 TB shape:
+
+- sessionization (gap-based): one shuffle on the entity key, then pure
+  window functions; the per-session rollup reuses the same hash
+  partitioning (HashPartitioning(user_id) satisfies the (user_id,
+  session_seq) clustering), so stats cost no second exchange.
+- as-of join: the union-tag + running-last formulation — NO join at all,
+  one shuffle on (user_id), O(n log n_partition) sort. The naive
+  formulation (join + max-filter) explodes on hot users; this one never
+  produces more rows than left+right.
+- range join: bucketed equi-join — each left row joins only its own and
+  the next time bucket (bucket width == window width), turning the
+  inequality join into an equi-join with a residual filter. At 10^12 rows
+  the shuffle keys on (user_id, bucket): bounded blocks, no
+  BroadcastNestedLoop, no cross product.
+- grouped top-k: rank window; Spark pushes the rank filter into
+  WindowGroupLimit (partial top-k before the shuffle).
+- exact percentiles: sort-based ``percentile`` — deterministic (unlike
+  mean-of-doubles), matching DuckDB ``quantile_cont`` bit-for-bit on the
+  same input set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_MINUTES = 240
+RANGE_JOIN_WINDOW_HOURS = 24
+TOPK_PER_GROUP = 5
+
+
+def _micros(col) -> F.Column:
+    """Microseconds since epoch. Parquet naive timestamps load as
+    TIMESTAMP_NTZ, which ``unix_micros`` rejects; the session timezone is
+    pinned to UTC (session.py), so the NTZ->TIMESTAMP cast is an identity
+    on the underlying micros."""
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    user's previous event exceeds ``gap_minutes`` (or at the first event).
+
+    Output: one row per event with its (user-scoped) ``session_seq``.
+    Scale: single shuffle on user_id; per-user sort is the only per-key
+    cost. Hot users are bounded by their own event count (no blowup).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts") <= F.col("prev_ts") + F.expr(
+        f"INTERVAL {int(gap_minutes)} MINUTES"
+    )
+    return (
+        events.select(
+            "event_id", "user_id", "ts", "event_type",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .withColumn(
+            "is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("event_id", "user_id", "ts", "event_type", "session_seq")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+def session_stats(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Per-session rollup: event count, span, distinct event types.
+
+    The groupBy keys on (user_id, session_seq) — a superset of the window
+    shuffle's HashPartitioning(user_id) — so Catalyst plans NO second
+    exchange (ClusteredDistribution satisfied by the subset partitioning).
+    """
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(
+                (
+                    _micros(F.max("ts")) - _micros(F.min("ts"))
+                ) / F.lit(1000000.0),
+                6,
+            ).alias("duration_sec"),
+            F.count_distinct("event_type").alias("n_event_types"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def asof_join(
+    events: DataFrame, left_type: str = "error", right_type: str = "click"
+) -> DataFrame:
+    """As-of join: each ``left_type`` event matched to the user's most
+    recent ``right_type`` event at-or-before it (inclusive).
+
+    Union-tag formulation (the scale-correct shape — no join operator):
+    tag right rows 0 and left rows 1, sort per user by (ts, side,
+    event_id), take the running ``last`` of the right payload with
+    ignoreNulls, keep left rows. Right rows at the same timestamp sort
+    before left (inclusive semantics, = DuckDB ``ASOF JOIN ON l.ts >=
+    r.ts``); duplicate right timestamps are pre-reduced to max(event_id)
+    so the match is deterministic on both engines.
+    """
+    right = (
+        events.where(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"), F.max_by("value", "event_id").alias("r_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "r_event_id",
+            F.col("ts").alias("r_ts"),
+            "r_value",
+        )
+    )
+    left = events.where(F.col("event_type") == left_type).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = right.unionByName(left).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("r_event_id", ignorenulls=True).over(w).alias("matched_event_id"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("matched_ts"),
+        F.last("r_value", ignorenulls=True).over(w).alias("matched_value"),
+    )
+    return (
+        merged.where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "matched_event_id",
+            "matched_ts",
+            F.round("matched_value", 6).alias("matched_value"),
+            F.round(
+                (
+                    _micros("ts") - _micros("matched_ts")
+                ) / F.lit(1000000.0),
+                6,
+            ).alias("lag_sec"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def range_join_follow_counts(
+    events: DataFrame, window_hours: int = RANGE_JOIN_WINDOW_HOURS
+) -> DataFrame:
+    """Range join: for each event, count the same user's events in the
+    half-open window (ts, ts + window_hours].
+
+    Bucketed equi-join shape: both sides key on (user_id,
+    floor(epoch/window)); each left row probes its own bucket and the next
+    (a window of width W spans at most 2 W-wide buckets), then the exact
+    interval predicate filters residuals. The inequality join becomes 2
+    equi-join lookups — shuffle-partitionable, skew-boundable, no
+    BroadcastNestedLoopJoin.
+    """
+    w_us = int(window_hours) * 3600 * 1000000
+    base = events.select(
+        "event_id", "user_id", "ts", _micros("ts").alias("us")
+    )
+    left = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "us",
+        F.explode(
+            F.array(
+                (F.col("us") / w_us).cast("long").alias("b"),
+                (F.col("us") / w_us).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = base.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("us").alias("r_us"),
+        (F.col("us") / w_us).cast("long").alias("bucket"),
+    )
+    hits = (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (left["bucket"] == right["bucket"])
+            & (F.col("r_us") > F.col("us"))
+            & (F.col("r_us") <= F.col("us") + F.lit(w_us)),
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_follow"))
+    )
+    return (
+        base.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_follow"), F.lit(0)).alias("n_follow"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def topk_users_per_type(events: DataFrame, k: int = TOPK_PER_GROUP) -> DataFrame:
+    """Grouped top-k: per event_type, the k users with the highest total
+    value (decimal-summed for partition-order determinism; rank ties break
+    on user_id). Spark plans a WindowGroupLimit: per-partition partial
+    top-k runs BEFORE the shuffle, so the exchange carries k rows per
+    (type, input-partition), not the full group.
+    """
+    totals = (
+        events.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("total_dec"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("total_dec").cast("double"), 6).alias("total_value"),
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("event_type", "rank")
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-type percentiles of ``value`` (p50/p95/p99, linear
+    interpolation). Sort-based and deterministic — same result regardless
+    of partition order, unlike floating mean — and identical to DuckDB
+    ``quantile_cont``. At 10^12 rows exact percentiles need a per-group
+    sort; the approx_* variant is the cheap path (see
+    ``approx_distinct_daily``'s module note).
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_distinct_daily(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Daily approximate distinct users (HyperLogLog++).
+
+    The 10^12-row path for COUNT(DISTINCT): the HLL sketch partial-
+    aggregates map-side (fixed ~1.5/rsd² bytes per group), so the shuffle
+    carries sketches, not user_ids — exact distinct shuffles every
+    distinct (day, user) pair. Probabilistic -> no DuckDB oracle row;
+    tests assert relative error vs the exact count.
+    """
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )

@@ -8,7 +8,7 @@ reproduced verbatim in the DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.texthash import md5_hash60, shingles_from_tokens, tokens
 
@@ -108,6 +108,93 @@ def language_id(docs: DataFrame) -> DataFrame:
         pred.alias("pred_lang"),
         *[F.round(F.col(f"s_{lang}"), 6).alias(f"s_{lang}") for lang in langs],
     ).orderBy("doc_id")
+
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # [90, 95) val, [95, 100) test
+TFIDF_TOP_K = 5
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    bucket = md5-60bit(doc_id) % 100 — a pure function of the stable key,
+    so the split is reproducible across runs, engines, and (critically, at
+    10^12 docs) across incremental re-runs: adding documents never moves an
+    existing one between splits, unlike any sample()/shuffle split. The
+    md5 prefix hash is computed identically by the DuckDB oracle.
+    """
+    bucket = md5_hash60(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def source_mixture(docs: DataFrame) -> DataFrame:
+    """Corpus mixture table: per (source, lang) document/token/char counts
+    and each cell's share of all whitespace tokens — the bookkeeping a
+    training-data pipeline needs to weight sampling across sources.
+
+    One scan + one tiny aggregate; the share is a window over the (few-row)
+    aggregate, not the corpus. Token counts are exact integers, so the
+    share division is deterministic.
+    """
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+    ).orderBy("source", "lang")
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf = term count in doc,
+    idf = ln(N/df), ties break on the term string).
+
+    Shapes at 10^12 docs: tf is a (doc_id, term) partial-aggregating
+    groupBy (hot terms spread across doc_ids); df is a term-keyed count
+    over the already-reduced tf frame (one row per doc-term, not per
+    occurrence); N broadcasts as a 1-row frame; the final top-k is a
+    doc-partitioned rank window with WindowGroupLimit pushdown.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )
 
 
 def fingerprints(docs: DataFrame, k: int = 3, n: int = 4) -> DataFrame:

@@ -125,6 +125,18 @@ def q_text_fingerprints(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir))
 
 
+def q_dataset_split(spark, sf_dir):
+    return ts.dataset_split(_docs(spark, sf_dir))
+
+
+def q_source_mixture(spark, sf_dir):
+    return ts.source_mixture(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return ts.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(mm.attach_binary_payload(_docs(spark, sf_dir)))
@@ -156,6 +168,9 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
     "text_fingerprints": q_text_fingerprints,
+    "dataset_split": q_dataset_split,
+    "source_mixture": q_source_mixture,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
 }
@@ -348,6 +363,50 @@ hs AS (
 )
 SELECT doc_id, h[1] AS fp0, h[2] AS fp1, h[3] AS fp2, h[4] AS fp3
 FROM hs ORDER BY doc_id
+""",
+    "dataset_split": f"""
+WITH b AS (
+  SELECT doc_id,
+         ({DUCK_HASH60.format(x="doc_id::VARCHAR")} % 100) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {ts.SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {ts.SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""",
+    "source_mixture": f"""
+WITH agg AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+       round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share
+FROM agg ORDER BY source, lang
+""",
+    "tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ts.TFIDF_TOP_K}
+ORDER BY doc_id, rank
 """,
     "multimodal_features": """
 SELECT doc_id,

@@ -1,0 +1,167 @@
+"""Driver-facing relational/temporal queries over the ``events`` table,
+with paired DuckDB oracle SQL.
+
+Oracle design notes:
+
+- sessionization / as-of / range join / top-k are deterministic relational
+  ops — the oracles recompute them with DuckDB's independent machinery
+  (native ``ASOF JOIN``, a plain inequality join instead of the bucketed
+  rewrite, the same window SQL for sessions).
+- double sums are decimal-cast on both engines (partition-order-dependent
+  float summation would flip the value hash).
+- ``approx_distinct_daily`` is probabilistic (HLL++) -> no oracle entry;
+  tests assert relative error vs the exact distinct count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational as rel
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single tiny file at test SFs: spread rows so windows/joins parallelize
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def q_sessionized_events(spark, sf_dir):
+    return rel.sessionize(_events(spark, sf_dir))
+
+
+def q_session_stats(spark, sf_dir):
+    return rel.session_stats(_events(spark, sf_dir))
+
+
+def q_asof_error_click(spark, sf_dir):
+    return rel.asof_join(_events(spark, sf_dir), "error", "click")
+
+
+def q_range_follow_counts(spark, sf_dir):
+    return rel.range_join_follow_counts(_events(spark, sf_dir))
+
+
+def q_topk_users_per_type(spark, sf_dir):
+    return rel.topk_users_per_type(_events(spark, sf_dir))
+
+
+def q_value_percentiles(spark, sf_dir):
+    return rel.value_percentiles(_events(spark, sf_dir))
+
+
+def q_approx_distinct_daily(spark, sf_dir):
+    return rel.approx_distinct_daily(_events(spark, sf_dir))
+
+
+QUERIES = {
+    "sessionized_events": q_sessionized_events,
+    "session_stats": q_session_stats,
+    "asof_error_click": q_asof_error_click,
+    "range_follow_counts": q_range_follow_counts,
+    "topk_users_per_type": q_topk_users_per_type,
+    "value_percentiles": q_value_percentiles,
+    "approx_distinct_daily": q_approx_distinct_daily,
+}
+
+_GAP = rel.SESSION_GAP_MINUTES
+_WH = rel.RANGE_JOIN_WINDOW_HOURS
+_K = rel.TOPK_PER_GROUP
+
+_SESSIONIZE_CTE = f"""
+lagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NOT NULL
+                  AND ts <= prev_ts + INTERVAL {_GAP} MINUTES
+             THEN 0 ELSE 1 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_seq
+  FROM flagged
+)"""
+
+ORACLES = {
+    "sessionized_events": f"""
+WITH {_SESSIONIZE_CTE}
+SELECT * FROM sess ORDER BY user_id, ts, event_id
+""",
+    "session_stats": f"""
+WITH {_SESSIONIZE_CTE}
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(epoch(max(ts) - min(ts)), 6) AS duration_sec,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM sess GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+    # native ASOF JOIN — an independent engine mechanism from the
+    # union-tag running-last formulation the Spark operator uses
+    "asof_error_click": """
+WITH r AS (
+  SELECT user_id, ts,
+         max(event_id) AS r_event_id,
+         max_by(value, event_id) AS r_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, l.ts,
+       r.r_event_id AS matched_event_id,
+       r.ts AS matched_ts,
+       round(r.r_value, 6) AS matched_value,
+       round(epoch(l.ts - r.ts), 6) AS lag_sec
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+    # plain inequality join — the bucketed equi-join rewrite must agree
+    "range_follow_counts": f"""
+WITH hits AS (
+  SELECT a.event_id, count(*) AS n_follow
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {_WH} HOURS
+  GROUP BY a.event_id
+)
+SELECT e.event_id, e.user_id, e.ts,
+       coalesce(h.n_follow, 0) AS n_follow
+FROM events e LEFT JOIN hits h USING (event_id)
+ORDER BY e.event_id
+""",
+    "topk_users_per_type": f"""
+WITH totals AS (
+  SELECT event_type, user_id,
+         round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS total_value,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY total_value DESC, user_id
+  ) AS rank
+  FROM totals
+)
+SELECT event_type, user_id, total_value, n_events, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+ORDER BY event_type, rank
+""",
+    "value_percentiles": """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+}

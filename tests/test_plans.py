@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "daily_summary",          # single-row summary assembled from scalars
     "overall_response_stats",
     "overall_error_rate",
+    "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
 }
 
 CARTESIAN = re.compile(r"CartesianProduct")

@@ -1,0 +1,254 @@
+"""Semantic tests for the relational/temporal operators (sessionization,
+as-of join, bucketed range join, grouped top-k, percentiles, HLL distinct)
+and the new training-data text ops (split / mixture / tf-idf).
+
+The DuckDB oracle gate already checks value equality at sf0.01; these tests
+pin the SEMANTICS on hand-built edge cases (gap boundaries, as-of
+inclusivity, bucket boundaries) and the probabilistic ops' error bounds,
+which no oracle row covers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from log_analysis_system_spark.operators import relational as rel
+from log_analysis_system_spark.operators import textstats as ts
+
+SF001 = "/root/testdata/sf0.001"
+
+_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts_str", StringType()),
+    ]
+)
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(rows, _SCHEMA)
+    return df.withColumn(
+        "ts", F.to_timestamp("ts_str").cast("timestamp_ntz")
+    ).drop("ts_str")
+
+
+def test_sessionize_gap_boundaries(spark):
+    # gaps: exactly 240 min (same session), 240 min + 1 s (new session)
+    ev = _events(
+        spark,
+        [
+            (1, 7, "view", 0.0, "2024-01-01 00:00:00"),
+            (2, 7, "view", 0.0, "2024-01-01 04:00:00"),   # == gap: same
+            (3, 7, "view", 0.0, "2024-01-01 08:00:01"),   # > gap: new
+            (4, 8, "view", 0.0, "2024-01-01 00:00:00"),   # other user
+        ],
+    )
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in rel.sessionize(ev).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_session_stats_rollup(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 7, "view", 0.0, "2024-01-01 00:00:00"),
+            (2, 7, "click", 0.0, "2024-01-01 00:30:00"),
+            (3, 7, "view", 0.0, "2024-01-02 00:00:00"),  # new session
+        ],
+    )
+    rows = {
+        (r["user_id"], r["session_seq"]): r
+        for r in rel.session_stats(ev).collect()
+    }
+    s1 = rows[(7, 1)]
+    assert s1["n_events"] == 2
+    assert s1["duration_sec"] == 1800.0
+    assert s1["n_event_types"] == 2
+    assert rows[(7, 2)]["n_events"] == 1
+    assert rows[(7, 2)]["duration_sec"] == 0.0
+
+
+def test_asof_join_inclusive_and_unmatched(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 7, "click", 1.5, "2024-01-01 10:00:00"),
+            (2, 7, "error", 0.0, "2024-01-01 10:00:00"),  # same ts: inclusive
+            (3, 7, "click", 2.5, "2024-01-01 11:00:00"),
+            (4, 7, "error", 0.0, "2024-01-01 12:00:00"),  # matches click 3
+            (5, 8, "error", 0.0, "2024-01-01 12:00:00"),  # no click: unmatched
+        ],
+    )
+    got = {r["event_id"]: r for r in rel.asof_join(ev, "error", "click").collect()}
+    assert got[2]["matched_event_id"] == 1 and got[2]["lag_sec"] == 0.0
+    assert got[4]["matched_event_id"] == 3 and got[4]["lag_sec"] == 3600.0
+    assert got[4]["matched_value"] == 2.5
+    assert got[5]["matched_event_id"] is None and got[5]["lag_sec"] is None
+
+
+def test_range_join_bucket_boundaries(spark):
+    # window = 24h; follower exactly at +24h counts, +24h+1s does not,
+    # and a follower in the NEXT bucket (cross-bucket probe) still counts
+    ev = _events(
+        spark,
+        [
+            (1, 7, "view", 0.0, "2024-01-01 23:00:00"),
+            (2, 7, "view", 0.0, "2024-01-02 22:59:59"),  # +23:59:59 (next bucket)
+            (3, 7, "view", 0.0, "2024-01-02 23:00:00"),  # exactly +24h
+            (4, 7, "view", 0.0, "2024-01-02 23:00:01"),  # +24h1s: out for 1
+            (5, 9, "view", 0.0, "2024-01-02 00:00:00"),  # other user
+        ],
+    )
+    got = {
+        r["event_id"]: r["n_follow"]
+        for r in rel.range_join_follow_counts(ev).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1, 4: 0, 5: 0}
+
+
+def test_range_join_matches_naive_on_real_data(spark):
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    fast = rel.range_join_follow_counts(ev)
+    w_us = rel.RANGE_JOIN_WINDOW_HOURS * 3600 * 1000000
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (
+                F.unix_micros(F.col("b.ts").cast("timestamp"))
+                <= F.unix_micros(F.col("a.ts").cast("timestamp")) + w_us
+            ),
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count("*").alias("n_follow"))
+    )
+    f = {r["event_id"]: r["n_follow"] for r in fast.collect()}
+    n = {r["event_id"]: r["n_follow"] for r in naive.collect()}
+    assert all(f[k] == v for k, v in n.items())
+    assert all(v == 0 for k, v in f.items() if k not in n)
+
+
+def test_topk_rank_and_ties(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", 5.0, "2024-01-01 00:00:00"),
+            (2, 2, "view", 5.0, "2024-01-01 00:00:00"),  # tie: user_id breaks
+            (3, 3, "view", 9.0, "2024-01-01 00:00:00"),
+        ],
+    )
+    rows = rel.topk_users_per_type(ev, k=2).collect()
+    assert [(r["user_id"], r["rank"]) for r in rows] == [(3, 1), (1, 2)]
+
+
+def test_value_percentiles_exact(spark):
+    ev = _events(
+        spark,
+        [(i, 1, "view", float(i), f"2024-01-01 00:00:{i:02d}") for i in range(1, 5)],
+    )
+    row = rel.value_percentiles(ev).collect()[0]
+    # linear interpolation over [1,2,3,4]
+    assert row["p50"] == 2.5
+    assert row["p95"] == pytest.approx(3.85)
+    assert row["n"] == 4
+
+
+def test_approx_distinct_within_rsd(spark):
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    approx = {
+        r["day"]: r["approx_users"]
+        for r in rel.approx_distinct_daily(ev).collect()
+    }
+    exact = {
+        r["day"]: r["u"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, e in exact.items():
+        assert abs(approx[day] - e) <= max(2, 0.1 * e), (day, approx[day], e)
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    a = ts.dataset_split(docs).collect()
+    b = ts.dataset_split(docs).collect()
+    assert a == b  # pure function of doc_id
+    n = len(a)
+    frac = {s: sum(1 for r in a if r["split"] == s) / n for s in ("train", "val", "test")}
+    assert 0.8 < frac["train"] < 0.97
+    assert frac["val"] > 0 and frac["test"] > 0
+    # adding docs never moves existing ones: split on a subset agrees
+    sub = ts.dataset_split(docs.limit(50)).collect()
+    full = {r["doc_id"]: r["split"] for r in a}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+
+def test_tfidf_matches_python_reference(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(40)
+    got = ts.tfidf_top_terms(docs, k=3).collect()
+    rows = docs.select("doc_id", "text").collect()
+    n = len(rows)
+    tf: dict[int, dict[str, int]] = {}
+    df: dict[str, int] = {}
+    for r in rows:
+        counts: dict[str, int] = {}
+        for t in r["text"].split(" "):
+            counts[t] = counts.get(t, 0) + 1
+        tf[r["doc_id"]] = counts
+        for t in counts:
+            df[t] = df.get(t, 0) + 1
+    expected = {}
+    for doc_id, counts in tf.items():
+        scored = sorted(
+            (
+                (round(c * math.log(n / df[t]), 6), t)
+                for t, c in counts.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        expected[doc_id] = [(t, s) for s, t in scored]
+    by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["doc_id"], r["rank"])):
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    assert by_doc == expected
+
+
+def test_source_mixture_shares_sum_to_one(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows = ts.source_mixture(docs).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_session_stats_reuses_window_partitioning(spark):
+    """The rollup's groupBy(user_id, session_seq) must be satisfied by the
+    window's HashPartitioning(user_id) — exactly one hash exchange in the
+    whole plan (the orderBy adds a range exchange, not a hash one)."""
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        rel.session_stats(ev)._jdf.queryExecution(), "formatted"
+    )
+    # formatted mode lists each Exchange's partitioning in its detail
+    # block: "Arguments: hashpartitioning(...)" / "rangepartitioning(...)"
+    hash_exchanges = plan.count("Arguments: hashpartitioning")
+    assert hash_exchanges == 1, plan
