@@ -1,0 +1,208 @@
+"""Training-data pipeline stage operators.
+
+The ops a large-scale LLM-corpus build needs beyond per-doc scoring:
+PII redaction, repetition (boilerplate) stats, deterministic sequence
+packing, per-class embedding centroids, and the composed keep/drop corpus
+filter (quality rules + near-dup canonicalization).
+
+Scale notes per operator are on the docstrings; the common rules hold:
+built-in JVM expressions only (no Python UDFs), aggregations partial-agg
+map-side, the one driver-side collect (``sequence_pack`` partition totals)
+is O(num_partitions) rows, never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.texthash import tokens
+from . import dedup as dd
+from .textstats import quality_scores
+
+# (name, pattern, replacement) — applied in order; the count columns are
+# computed on the ORIGINAL text per pattern (overlaps between categories
+# count in each). Patterns restricted to syntax shared by Java regex
+# (Spark) and RE2 (DuckDB) so the oracle reproduces them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("secret", r"\b[0-9a-f]{16,}\b", "<SECRET>"),
+]
+
+SEQ_LEN = 512
+
+
+def pii_redaction(transcripts: DataFrame) -> DataFrame:
+    """Per-turn PII scrub: replace email / IPv4 / long-hex-secret spans
+    with typed placeholders; emit per-category match counts.
+
+    Single scan, all codegen (``regexp_extract_all`` + chained
+    ``regexp_replace``) — the 100 TB shape is embarrassingly parallel with
+    zero shuffle.
+    """
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return transcripts.select(
+        "conv_id", "turn_idx", *counts, red.alias("redacted")
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_bigram_ratio``: 1 - distinct/total word bigrams (0.0 when the
+      doc has < 2 tokens) — boilerplate and looped generations score high;
+    - ``top_token_share``: occurrences of the most frequent token / all
+      tokens — degenerate repetition scores near 1.
+
+    Bigram stats are a pure projection; the token mode needs a
+    (doc_id, token) groupBy — partial-aggregated map-side, keyed by doc_id
+    so hot *tokens* never concentrate (the skew unit is a document).
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # non-distinct bigrams (repetition is the signal — array_distinct here
+    # would erase it); token array materialized in its own projection first
+    # (HOFs inline their argument subtree — see texthash.shingles_from_tokens)
+    bg = F.when(
+        F.size(F.col("t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("t")) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bstats = base.select(
+        "doc_id",
+        F.size(F.col("t")).alias("n_tokens"),
+        F.when(
+            F.size(bg) > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_share")
+    )
+    return bstats.join(top, "doc_id").orderBy("doc_id")
+
+
+def sequence_pack(
+    docs: DataFrame, seq_len: int = SEQ_LEN, num_parts: int | None = None
+) -> DataFrame:
+    """Deterministic sequence packing: concatenate documents in doc_id
+    order and map each to its global token span — ``start_offset`` /
+    ``end_offset`` and the first/last training sequence (of ``seq_len``
+    tokens) it lands in.
+
+    Distributed prefix sum, the scale-correct shape (a bare
+    ``Window.orderBy`` with no partition key would serialize the corpus
+    through ONE task):
+
+    1. range-repartition by doc_id (contiguous ascending key ranges per
+       partition, ascending partition ids);
+    2. per-partition running sum (window keyed on the partition id);
+    3. collect the per-partition TOTALS — O(num_partitions) longs, never
+       data — prefix-sum them on the driver, broadcast-join the offsets
+       back.
+
+    The lazy localCheckpoint pins the partition assignment so steps 2 and
+    3 read the same materialization (and the shingle frames in dedup use
+    the same policy for the same reason).
+    """
+    spark = docs.sparkSession
+    n = num_parts or spark.sparkContext.defaultParallelism
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    ranged = (
+        sized.repartitionByRange(n, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("local_cum", F.sum("n_tokens").over(w))
+    totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("part_total"))
+    acc = 0
+    offsets = []
+    for row in sorted(totals.collect(), key=lambda r: r["pid"]):
+        offsets.append((row["pid"], acc))
+        acc += row["part_total"]
+    off_df = spark.createDataFrame(offsets, "pid int, part_offset long")
+    start = F.col("part_offset") + F.col("local_cum") - F.col("n_tokens")
+    end = F.col("part_offset") + F.col("local_cum")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            end.alias("end_offset"),
+            # n_tokens >= 1 always: a single-space split of any string
+            # (even '') yields at least one element, in Spark and DuckDB
+            (start / seq_len).cast("long").alias("seq_first"),
+            ((end - 1) / seq_len).cast("long").alias("seq_last"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def embedding_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid, long format: (label, dim) -> mean component.
+
+    posexplode + groupBy(label, dim): the map side partial-aggregates each
+    (label, dim) cell, so the shuffle carries |labels| x dim partial sums
+    per task — never vectors. Output rounded to 6 dp (full-precision float
+    inputs: summation-order noise is ~1e-13 relative, far inside the
+    rounding guard band).
+    """
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def corpus_filter(docs: DataFrame) -> DataFrame:
+    """The composed keep/drop decision a corpus build actually applies:
+    quality rules (textstats.quality_scores ``keep``) AND near-dup
+    canonicalization (dedup_components: only each component's canonical
+    doc survives). ``reason`` explains every drop — 'low_quality' wins
+    when both apply.
+
+    Both inputs are doc_id-keyed frames; the join shuffles on doc_id
+    (or co-partitions for free if the corpus is bucketed by doc_id).
+    """
+    q = quality_scores(docs).select("doc_id", "keep")
+    comp = dd.dedup_components(docs)
+    is_canonical = F.col("canonical_id") == F.col("doc_id")
+    return (
+        q.join(comp, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("keep") & is_canonical).alias("kept"),
+            F.when(~F.col("keep"), F.lit("low_quality"))
+            .when(~is_canonical, F.lit("duplicate"))
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
+    )

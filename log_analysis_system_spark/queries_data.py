@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.texthash import DUCK_HASH60, duck_shingles_cte, duck_simhash32_sql
+from .operators import datapipe as dp
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import similarity as sim
@@ -137,6 +138,22 @@ def q_tfidf_top_terms(spark, sf_dir):
     return ts.tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    return dp.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_sequence_pack(spark, sf_dir):
+    return dp.sequence_pack(_docs(spark, sf_dir))
+
+
+def q_embedding_centroids(spark, sf_dir):
+    return dp.embedding_centroids(_emb(spark, sf_dir))
+
+
+def q_corpus_filter(spark, sf_dir):
+    return dp.corpus_filter(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(mm.attach_binary_payload(_docs(spark, sf_dir)))
@@ -171,6 +188,10 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "source_mixture": q_source_mixture,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "text_repetition": q_text_repetition,
+    "sequence_pack": q_sequence_pack,
+    "embedding_centroids": q_embedding_centroids,
+    "corpus_filter": q_corpus_filter,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
 }
@@ -198,6 +219,33 @@ ORDER BY id_a, id_b
 
 _TOK = "string_split(text, ' ')"
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS) + "]"
+
+# shared tail of the connected-components recursive oracle (follows the
+# shingle CTE): exact-Jaccard pairs -> symmetric edges -> reachability
+_COMPONENT_TAIL_CTES = f"""
+, sizes AS (SELECT doc_id, len(ts) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= {dd.JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst
+  FROM reach JOIN edges e ON e.src = reach.r
+)"""
 
 
 def _lang_scores_sql() -> str:
@@ -250,30 +298,8 @@ ORDER BY canonical_id, dup_id
     # min reachable doc_id per doc (singletons map to themselves)
     "dedup_components": "WITH RECURSIVE "
     + _SH_CTE.strip()
-    + f"""
-, sizes AS (SELECT doc_id, len(ts) AS n FROM sh),
-ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE c::DOUBLE / (sa.n + sb.n - c) >= {dd.JACCARD_THRESHOLD}
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-),
-reach AS (
-  SELECT doc_id, doc_id AS r FROM documents
-  UNION
-  SELECT reach.doc_id, e.dst
-  FROM reach JOIN edges e ON e.src = reach.r
-)
+    + _COMPONENT_TAIL_CTES
+    + """
 SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
 ORDER BY doc_id
 """,
@@ -445,6 +471,81 @@ SELECT doc_id,
        round(avg(v) FILTER (c = 1), 6) AS mean_c1,
        round(avg(v) FILTER (c = 2), 6) AS mean_c2
 FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+    "text_repetition": f"""
+WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),
+bg AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+              ELSE [] END AS b
+  FROM base
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM base),
+cnts AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+top AS (
+  SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS total
+  FROM cnts GROUP BY doc_id
+)
+SELECT bg.doc_id, bg.n_tokens,
+       CASE WHEN len(bg.b) > 0
+            THEN round(1 - len(list_distinct(bg.b))::DOUBLE / len(bg.b), 6)
+            ELSE 0.0 END AS dup_bigram_ratio,
+       round(top.top_cnt::DOUBLE / top.total, 6) AS top_token_share
+FROM bg JOIN top USING (doc_id) ORDER BY doc_id
+""",
+    "sequence_pack": f"""
+WITH sized AS (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(cum AS BIGINT) AS end_offset,
+       CAST((cum - n_tokens) // {dp.SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((cum - 1) // {dp.SEQ_LEN} AS BIGINT) AS seq_last
+FROM c ORDER BY doc_id
+""",
+    "embedding_centroids": """
+WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (
+  SELECT label, CAST(i - 1 AS INT) AS dim, e[i] AS val
+  FROM v CROSS JOIN range(1, 4097) t(i)
+  WHERE i <= len(e)
+)
+SELECT label, dim, count(*) AS n_vecs, round(avg(val), 6) AS centroid
+FROM ex GROUP BY label, dim ORDER BY label, dim
+""",
+    # composed corpus decision: quality keep (same rounded formulas as the
+    # text_quality oracle) AND dedup-component canonicality
+    "corpus_filter": "WITH RECURSIVE "
+    + _SH_CTE.strip()
+    + _COMPONENT_TAIL_CTES
+    + f"""
+, comp AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+qb AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+qm AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round((length(text) - (len(t) - 1))::DOUBLE / len(t), 6) AS mean_token_len,
+         len(list_intersect(t, {_STOP_LIST})) AS n_distinct_stopwords
+  FROM qb
+),
+q AS (
+  SELECT doc_id,
+         (n_tokens >= {ts.QUALITY_MIN_TOKENS}
+          AND mean_token_len <= {ts.QUALITY_MAX_MEAN_TOKEN_LEN}
+          AND n_distinct_stopwords >= 1) AS keep
+  FROM qm
+)
+SELECT q.doc_id,
+       (q.keep AND comp.canonical_id = q.doc_id) AS kept,
+       CASE WHEN NOT q.keep THEN 'low_quality'
+            WHEN comp.canonical_id <> q.doc_id THEN 'duplicate' END AS reason
+FROM q JOIN comp USING (doc_id)
+ORDER BY q.doc_id
 """,
 }
 ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]

@@ -372,6 +372,13 @@ def q_salted_turn_counts(spark, sf_dir):
     return win.salted_turn_counts(load_transcripts(spark, sf_dir))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over raw turn text: typed placeholders + match counts."""
+    from .operators.datapipe import pii_redaction
+
+    return pii_redaction(load_transcripts(spark, sf_dir))
+
+
 def q_enriched_status_counts(spark, sf_dir):
     enriched = enrich(load_parsed(spark, sf_dir))
     return (
@@ -392,6 +399,24 @@ def q_enriched_role_counts(spark, sf_dir):
 
 
 # --------------------------------------------------------------- oracle SQL
+def _pii_oracle_sql() -> str:
+    """PII-redaction oracle generated from the SAME pattern list the Spark
+    operator uses (operators.datapipe.PII_PATTERNS) — counts on the
+    original text, replacements chained in declaration order."""
+    from .operators.datapipe import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (
+        f"SELECT conv_id, turn_idx,\n       {counts},\n"
+        f"       {red} AS redacted\nFROM transcripts"
+    )
+
 _STATUS_DESC_CASE = "(CASE {} ELSE 'Unknown' END)".format(
     " ".join(f"WHEN status = {k} THEN '{v}'" for k, v in STATUS_DESCRIPTIONS.items())
 )
@@ -699,6 +724,7 @@ FROM turns t LEFT JOIN alerts a USING (conv_id)""",
 SELECT conv_id, count(*) AS n_turns,
        CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
 FROM transcripts GROUP BY conv_id""",
+    "pii_redaction": P + _pii_oracle_sql(),
     "enriched_status_counts": P
     + f"""
 SELECT status, {_STATUS_DESC_CASE} AS status_description, count(*) AS n
@@ -744,6 +770,7 @@ QUERIES = {
     "turn_ordering_check": q_turn_ordering_check,
     "conversation_alert_rates": q_conversation_alert_rates,
     "salted_turn_counts": q_salted_turn_counts,
+    "pii_redaction": q_pii_redaction,
     "enriched_status_counts": q_enriched_status_counts,
     "enriched_role_counts": q_enriched_role_counts,
 }

@@ -1,0 +1,143 @@
+"""Unit tests for operators.datapipe (training-data pipeline stages)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.operators import datapipe as dp
+
+from .conftest import make_transcripts
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ----------------------------------------------------------- pii_redaction
+def test_pii_redaction_counts_and_replacement(spark):
+    tr = make_transcripts(
+        spark,
+        [
+            (
+                "c0",
+                0,
+                "user",
+                "mail alice@example.com from 10.0.0.1 key deadbeefdeadbeef1234",
+                None,
+                "2024-01-01 00:00:00",
+            ),
+            ("c0", 1, "assistant", "no pii here", None, "2024-01-01 00:00:01"),
+        ],
+    )
+    rows = {r["turn_idx"]: r for r in dp.pii_redaction(tr).collect()}
+    r0 = rows[0]
+    assert (r0["n_email"], r0["n_ip"], r0["n_secret"]) == (1, 1, 1)
+    assert r0["redacted"] == "mail <EMAIL> from <IP> key <SECRET>"
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ip"], r1["n_secret"]) == (0, 0, 0)
+    assert r1["redacted"] == "no pii here"
+
+
+def test_pii_redaction_order_email_before_ip(spark):
+    # the numeric-domain email is consumed by the email pass first; the
+    # free-standing IP is still caught by the IP pass
+    tr = make_transcripts(
+        spark,
+        [("c0", 0, "user", "x@1.2.3.four and 5.6.7.8", None, "2024-01-01 00:00:00")],
+    )
+    row = dp.pii_redaction(tr).collect()[0]
+    assert row["redacted"] == "<EMAIL> and <IP>"
+    assert (row["n_email"], row["n_ip"]) == (1, 1)
+
+
+# -------------------------------------------------------- repetition_stats
+def test_repetition_stats_hand_computed(spark):
+    docs = _docs(spark, ["a a a b", "w x y z"])
+    rows = {r["doc_id"]: r for r in dp.repetition_stats(docs).collect()}
+    # bigrams of doc0: [a a, a a, a b] -> distinct 2 of 3
+    assert rows[0]["n_tokens"] == 4
+    assert rows[0]["dup_bigram_ratio"] == round(1 - 2 / 3, 6)
+    assert rows[0]["top_token_share"] == 0.75
+    # all-distinct doc: no duplicate bigrams, uniform tokens
+    assert rows[1]["dup_bigram_ratio"] == 0.0
+    assert rows[1]["top_token_share"] == 0.25
+
+
+def test_repetition_stats_single_token_doc(spark):
+    rows = dp.repetition_stats(_docs(spark, ["solo"])).collect()
+    assert rows[0]["n_tokens"] == 1
+    assert rows[0]["dup_bigram_ratio"] == 0.0
+    assert rows[0]["top_token_share"] == 1.0
+
+
+# ----------------------------------------------------------- sequence_pack
+def test_sequence_pack_offsets_contiguous(spark):
+    # token counts: 3, 2, 4 -> spans [0,3) [3,5) [5,9)
+    docs = _docs(spark, ["a b c", "d e", "f g h i"])
+    rows = sorted(
+        dp.sequence_pack(docs, seq_len=4).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [(r["start_offset"], r["end_offset"]) for r in rows] == [
+        (0, 3),
+        (3, 5),
+        (5, 9),
+    ]
+    assert [(r["seq_first"], r["seq_last"]) for r in rows] == [
+        (0, 0),
+        (0, 1),  # tokens 3,4: spans the seq_len=4 boundary
+        (1, 2),
+    ]
+
+
+def test_sequence_pack_invariant_to_partitioning(spark):
+    docs = _docs(spark, [f"tok{i} " * (i % 7 + 1) for i in range(40)])
+    a = sorted(
+        dp.sequence_pack(docs, seq_len=16, num_parts=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        dp.sequence_pack(docs, seq_len=16, num_parts=5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
+    # global contiguity: each start equals the previous end
+    for prev, cur in zip(a, a[1:]):
+        assert cur["start_offset"] == prev["end_offset"]
+
+
+# ------------------------------------------------------ embedding_centroids
+def test_embedding_centroids_exact_means(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0], 7),
+            (1, [3.0, 6.0], 7),
+            (2, [10.0, 0.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r["label"], r["dim"]): r for r in dp.embedding_centroids(emb).collect()}
+    assert rows[(7, 0)]["centroid"] == 2.0
+    assert rows[(7, 1)]["centroid"] == 4.0
+    assert rows[(7, 0)]["n_vecs"] == 2
+    assert rows[(8, 0)]["centroid"] == 10.0
+    assert len(rows) == 4
+
+
+# ----------------------------------------------------------- corpus_filter
+def test_corpus_filter_reasons(spark):
+    good = ("the quick brown fox jumps over a lazy dog and then runs far away "
+            "to the hills again today")  # 18 tokens -> pad to >= 20
+    good = good + " more words"
+    docs = _docs(spark, [good, good, "tiny doc"])
+    rows = {r["doc_id"]: r for r in dp.corpus_filter(docs).collect()}
+    assert rows[0]["kept"] is True and rows[0]["reason"] is None
+    assert rows[1]["kept"] is False and rows[1]["reason"] == "duplicate"
+    assert rows[2]["kept"] is False and rows[2]["reason"] == "low_quality"
+
+
+def test_corpus_filter_no_collect_list_in_plan(spark):
+    docs = _docs(spark, ["a b c d"])
+    plan = dp.corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
