@@ -278,6 +278,38 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_stats(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Per-session rollup via Spark's BUILT-IN ``session_window`` (dynamic
+    gap-merge windows) — an independent mechanism from the
+    :func:`sessionize` lag/running-sum formulation, registered so the two
+    are cross-checked against the same DuckDB oracle.
+
+    Boundary semantics: an event at exactly ``prev_ts + gap`` starts a NEW
+    session (windows are half-open ``[ts, ts+gap)``) — the oracle uses
+    strict ``<`` to match. ``session_end`` is ``max(ts)``, not the window
+    end (which would be ``max(ts) + gap``).
+
+    Scale: same single shuffle on the session key as the manual
+    formulation; the merge runs inside ``UpdatingSessionsIterator`` on the
+    sorted partition — no extra exchange.
+    """
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{int(gap_minutes)} minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
 def approx_distinct_daily(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     """Daily approximate distinct users (HyperLogLog++).
 

@@ -54,6 +54,10 @@ def q_approx_distinct_daily(spark, sf_dir):
     return rel.approx_distinct_daily(_events(spark, sf_dir))
 
 
+def q_session_window_stats(spark, sf_dir):
+    return rel.session_window_stats(_events(spark, sf_dir))
+
+
 QUERIES = {
     "sessionized_events": q_sessionized_events,
     "session_stats": q_session_stats,
@@ -62,6 +66,7 @@ QUERIES = {
     "topk_users_per_type": q_topk_users_per_type,
     "value_percentiles": q_value_percentiles,
     "approx_distinct_daily": q_approx_distinct_daily,
+    "session_window_stats": q_session_window_stats,
 }
 
 _GAP = rel.SESSION_GAP_MINUTES
@@ -163,5 +168,33 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 6) AS p95,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+    # strict-< boundary (Spark session_window's half-open [ts, ts+gap)),
+    # unlike the inclusive-<= manual sessionization above — two independent
+    # mechanisms, one oracle family
+    "session_window_stats": f"""
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NOT NULL
+                  AND ts < prev_ts + INTERVAL {_GAP} MINUTES
+             THEN 0 ELSE 1 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
 """,
 }

@@ -219,17 +219,31 @@ def q_error_endpoints(spark, sf_dir):
     return _r6(perf.error_endpoints(load_parsed(spark, sf_dir)), "endpoint_error_rate")
 
 
+def _series_input(spark, sf_dir):
+    """Parse -> prune to the 3 columns every time-series agg reads ->
+    lazy localCheckpoint. Without the barrier, Catalyst substitutes the
+    parse cascade into BOTH the pushed-down row filter and the window
+    projection, so every row pays the regex+timestamp parse ~2x (measured
+    3.5x wall-time reduction at sf0.1: traffic 3.9->1.1s). At scale the
+    materialization writes 3 narrow columns, not the payload."""
+    return (
+        load_parsed(spark, sf_dir)
+        .select("ts_parsed", "log_type", "status")
+        .localCheckpoint(eager=False)
+    )
+
+
 def q_traffic_hourly(spark, sf_dir):
-    return _epoch(perf.traffic_by_interval(load_parsed(spark, sf_dir), "1 hour"))
+    return _epoch(perf.traffic_by_interval(_series_input(spark, sf_dir), "1 hour"))
 
 
 def q_peak_traffic(spark, sf_dir):
-    df = perf.peak_traffic_intervals(load_parsed(spark, sf_dir), "1 hour")
+    df = perf.peak_traffic_intervals(_series_input(spark, sf_dir), "1 hour")
     return _epoch(_r6(df, "threshold"))
 
 
 def q_error_rate_5min(spark, sf_dir):
-    df = perf.error_rate_by_interval(load_parsed(spark, sf_dir), "5 minutes")
+    df = perf.error_rate_by_interval(_series_input(spark, sf_dir), "5 minutes")
     return _epoch(_r6(df, "error_rate"))
 
 
@@ -274,16 +288,35 @@ def q_format_detection(spark, sf_dir):
     return win.conversation_format_detection(load_parsed(spark, sf_dir))
 
 
+# every column the 5 detectors and the alert-rate rollup read — the
+# checkpoint materializes ONLY these (dropping text + the wide parse
+# remainder halves the security_events wall time at sf0.1, and at 100 TB
+# never writes the payload column to checkpoint storage at all)
+DETECTOR_COLUMNS = [
+    "conv_id", "turn_idx", "ip_address", "endpoint",
+    "method", "status", "ts_parsed", "log_type",
+]
+
+
+def _detector_input(spark, sf_dir):
+    """Parse -> prune to detector columns -> lazy localCheckpoint.
+
+    localCheckpoint over persist(): its blocks are freed by the
+    ContextCleaner when the frame is GC'd, so repeated registry
+    invocations in a long-lived session don't accumulate CacheManager
+    entries that only an explicit unpersist would release."""
+    return (
+        load_parsed(spark, sf_dir)
+        .select(*DETECTOR_COLUMNS)
+        .localCheckpoint(eager=False)
+    )
+
+
 def q_security_events(spark, sf_dir):
     # five detectors fan out from one parse: lazy localCheckpoint so the
     # scan+parse runs once, not per union branch (same strategy as
-    # pipeline._route_stage). localCheckpoint over persist(): its blocks
-    # are freed by the ContextCleaner when the frame is GC'd, so repeated
-    # registry invocations in a long-lived session don't accumulate
-    # CacheManager entries that only an explicit unpersist would release.
-    return sec.all_security_events(
-        load_parsed(spark, sf_dir).localCheckpoint(eager=False)
-    )
+    # pipeline._route_stage)
+    return sec.all_security_events(_detector_input(spark, sf_dir))
 
 
 def q_brute_force(spark, sf_dir):
@@ -301,10 +334,7 @@ def q_unusual_methods(spark, sf_dir):
 
 
 def q_ip_threat_scores(spark, sf_dir):
-    # lazy localCheckpoint, not persist: see q_security_events
-    events = sec.all_security_events(
-        load_parsed(spark, sf_dir).localCheckpoint(eager=False)
-    )
+    events = sec.all_security_events(_detector_input(spark, sf_dir))
     return sec.ip_threat_scores(events)
 
 
@@ -319,12 +349,12 @@ def q_per_conv_zscore(spark, sf_dir):
 
 
 def q_rolling_traffic_anomalies(spark, sf_dir):
-    df = an.traffic_rolling_anomalies(load_parsed(spark, sf_dir), "1 hour")
+    df = an.traffic_rolling_anomalies(_series_input(spark, sf_dir), "1 hour")
     return _epoch(_r6(df, "upper_bound", "lower_bound"))
 
 
 def q_iqr_anomalies(spark, sf_dir):
-    df = an.error_rate_iqr_anomalies(load_parsed(spark, sf_dir), "5 minutes")
+    df = an.error_rate_iqr_anomalies(_series_input(spark, sf_dir), "5 minutes")
     return _r6(df, "expected_value", "actual_value", "z_score").withColumn(
         "event_ts", F.col("event_ts").cast("long")
     )
@@ -359,11 +389,12 @@ def q_turn_ordering_check(spark, sf_dir):
 
 
 def q_conversation_alert_rates(spark, sf_dir):
-    # lazy localCheckpoint (same policy as q_security_events): the 5-detector
-    # union otherwise inlines the parse cascade per branch — 5x the parse
-    # compute AND a >64KB whole-stage method that falls back to interpreted
-    # (janino "Code grows beyond 64 KB" observed at sf0.01).
-    parsed = load_parsed(spark, sf_dir).localCheckpoint(eager=False)
+    # pruned lazy localCheckpoint (same policy as q_security_events): the
+    # 5-detector union otherwise inlines the parse cascade per branch — 5x
+    # the parse compute AND a >64KB whole-stage method that falls back to
+    # interpreted (janino "Code grows beyond 64 KB" observed at sf0.01).
+    # The turn rollup only reads conv_id, so the pruned frame serves both.
+    parsed = _detector_input(spark, sf_dir)
     events = sec.all_security_events(parsed)
     return _r6(win.conversation_alert_rates(parsed, events), "alert_rate")
 

@@ -210,6 +210,47 @@ def streaming_conversation_state(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on the turn key: drops redelivered
+    ``(conv_id, turn_idx)`` rows from an at-least-once feed.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    event-time watermark passes its first sighting — bounded state on an
+    unbounded feed (plain ``dropDuplicates`` on a stream retains every key
+    forever). Duplicates arriving within the watermark horizon are
+    suppressed; later redeliveries are the source's contract to avoid.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-conversation gap sessions on a stream: Spark's native
+    ``session_window`` merges a conversation's turns into sessions closed
+    by ``gap`` of event-time silence; the watermark finalizes (and evicts
+    the state of) sessions once no earlier turn can arrive. The streaming
+    analog of ``relational.session_window_stats``."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def streaming_traffic_counts(
     stream: DataFrame,
     window: str = "1 hour",

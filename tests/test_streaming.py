@@ -17,7 +17,9 @@ from log_analysis_system_spark.queries_log import load_transcripts
 from log_analysis_system_spark.streaming.stream_pipeline import (
     read_transcript_stream,
     streaming_conversation_state,
+    streaming_dedup,
     streaming_route,
+    streaming_session_stats,
     streaming_traffic_counts,
 )
 
@@ -93,6 +95,66 @@ def test_streaming_window_counts(spark, stream_dirs):
         .collect()
     }
     assert got == expected and got
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, stream_dirs):
+    """An at-least-once feed delivering every turn twice must come out
+    exactly once per (conv_id, turn_idx) key."""
+    t = load_transcripts(spark, SF)
+    t.write.mode("append").parquet(stream_dirs["in"])
+    t.write.mode("append").parquet(stream_dirs["in"])  # full redelivery
+    # one micro-batch (files << trigger cap): both copies inside the same
+    # watermark horizon, so every duplicate is in suppressible state
+    stream = read_transcript_stream(
+        spark, stream_dirs["in"], max_files_per_trigger=1000
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.sql("select conv_id, turn_idx from dedup_out")
+    assert out.count() == t.count()
+    assert out.distinct().count() == t.count()
+
+
+def test_streaming_session_stats_match_batch_sessions(spark, stream_dirs):
+    """Emitted (watermark-closed) sessions must be value-identical to the
+    batch session_window aggregate; sessions still open at the final
+    watermark are legitimately withheld in append mode."""
+    t = load_transcripts(spark, SF)
+    t.write.mode("append").parquet(stream_dirs["in"])
+    stream = read_transcript_stream(spark, stream_dirs["in"])
+    q = (
+        streaming_session_stats(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.session_start, r.session_end, r.n_turns)
+        for r in spark.sql("select * from sessions_out").collect()
+    }
+    batch = {
+        (r.conv_id, r["w"]["start"], r["w"]["end"], r.n_turns)
+        for r in t.groupBy(
+            "conv_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_turns"))
+        .collect()
+    }
+    assert got <= batch, "stream emitted a session batch mode never produces"
+    # the un-emitted remainder is only the open tail near max event time
+    assert len(got) >= len(batch) // 2 and got
 
 
 def test_streaming_conversation_state_accumulates_across_batches(
