@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.texthash import tokens
+from ..functions.texthash import md5_hash60, tokens
 from . import dedup as dd
 from .textstats import quality_scores
 
@@ -179,6 +179,36 @@ def embedding_centroids(emb: DataFrame) -> DataFrame:
             F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
         )
         .orderBy("label", "dim")
+    )
+
+
+# per-language keep percentages for the stratified eval sample: downsample
+# the dominant language, keep half of the long-tail ones
+SAMPLE_PCT: dict[str, int] = {"en": 10, "de": 50, "es": 50, "fr": 50}
+SAMPLE_DEFAULT_PCT = 25
+
+
+def stratified_sample(
+    docs: DataFrame, pct_by_lang: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic per-stratum (language) sampling: keep a doc when its
+    md5-bucket falls under the stratum's percentage.
+
+    Hash-of-key sampling, not ``sample()``/``sampleBy()``: reproducible
+    across runs, engines, and incremental corpus growth (a doc's keep
+    decision never changes when other docs arrive) — the property an eval
+    holdout must have at 10^12 docs. Pure projection + filter, zero
+    shuffle; the rate map rides into codegen as a CASE literal.
+    """
+    pct = pct_by_lang or SAMPLE_PCT
+    bucket = md5_hash60(F.col("doc_id").cast("string")) % 100
+    rate = F.lit(SAMPLE_DEFAULT_PCT)
+    for lang, p in sorted(pct.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(p)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("keep_pct"))
+        .where(F.col("bucket") < F.col("keep_pct"))
+        .orderBy("doc_id")
     )
 
 

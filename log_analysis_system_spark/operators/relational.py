@@ -310,6 +310,31 @@ def session_window_stats(
     )
 
 
+def props_key_stats(events: DataFrame) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    extract ``$.k`` per row, aggregate per event_type.
+
+    ``get_json_object`` is a codegen scalar (Jackson parse per row, no
+    UDF); the integer sum is exact, so no rounding hazards. At 10^12 rows
+    prefer parsing ONCE into a materialized column (or a from_json struct
+    pushed into the silver table) over re-extracting per query — this
+    operator is the query-time form.
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def approx_distinct_daily(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     """Daily approximate distinct users (HyperLogLog++).
 

@@ -154,6 +154,10 @@ def q_corpus_filter(spark, sf_dir):
     return dp.corpus_filter(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark, sf_dir):
+    return dp.stratified_sample(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(mm.attach_binary_payload(_docs(spark, sf_dir)))
@@ -192,6 +196,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "embedding_centroids": q_embedding_centroids,
     "corpus_filter": q_corpus_filter,
+    "stratified_sample": q_stratified_sample,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
 }
@@ -546,6 +551,20 @@ SELECT q.doc_id,
             WHEN comp.canonical_id <> q.doc_id THEN 'duplicate' END AS reason
 FROM q JOIN comp USING (doc_id)
 ORDER BY q.doc_id
+""",
+    "stratified_sample": f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ({DUCK_HASH60.format(x="doc_id::VARCHAR")} % 100) AS bucket,
+         CASE {" ".join(
+             f"WHEN lang = '{lang}' THEN {p}"
+             for lang, p in sorted(dp.SAMPLE_PCT.items())
+         )} ELSE {dp.SAMPLE_DEFAULT_PCT} END AS keep_pct
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(keep_pct AS INT) AS keep_pct
+FROM b WHERE bucket < keep_pct ORDER BY doc_id
 """,
 }
 ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]

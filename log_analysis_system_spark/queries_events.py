@@ -58,6 +58,10 @@ def q_session_window_stats(spark, sf_dir):
     return rel.session_window_stats(_events(spark, sf_dir))
 
 
+def q_props_key_stats(spark, sf_dir):
+    return rel.props_key_stats(_events(spark, sf_dir))
+
+
 QUERIES = {
     "sessionized_events": q_sessionized_events,
     "session_stats": q_session_stats,
@@ -67,6 +71,7 @@ QUERIES = {
     "value_percentiles": q_value_percentiles,
     "approx_distinct_daily": q_approx_distinct_daily,
     "session_window_stats": q_session_window_stats,
+    "props_key_stats": q_props_key_stats,
 }
 
 _GAP = rel.SESSION_GAP_MINUTES
@@ -196,5 +201,18 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
 FROM sess GROUP BY user_id, session_seq
 ORDER BY user_id, session_start
+""",
+    "props_key_stats": """
+SELECT event_type,
+       count(*) AS n,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+) GROUP BY event_type ORDER BY event_type
 """,
 }

@@ -137,6 +137,47 @@ def test_corpus_filter_reasons(spark):
     assert rows[2]["kept"] is False and rows[2]["reason"] == "low_quality"
 
 
+# ------------------------------------------------------- stratified_sample
+def test_stratified_sample_deterministic_and_stable_under_growth(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", "en" if i % 2 else "de", "s0") for i in range(200)],
+        "doc_id long, text string, lang string, source string",
+    )
+    a = {r["doc_id"] for r in dp.stratified_sample(docs).collect()}
+    b = {r["doc_id"] for r in dp.stratified_sample(docs).collect()}
+    assert a == b and a
+    # incremental growth never flips an existing doc's keep decision
+    grown = spark.createDataFrame(
+        [(i, f"d{i}", "en" if i % 2 else "de", "s0") for i in range(400)],
+        "doc_id long, text string, lang string, source string",
+    )
+    g = {r["doc_id"] for r in dp.stratified_sample(grown).collect()}
+    assert {d for d in g if d < 200} == a
+    # per-stratum rates actually differ (en downsampled below de)
+    rows = dp.stratified_sample(grown).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    assert by_lang.get("de", 0) > by_lang.get("en", 0)
+
+
+# --------------------------------------------------------- props_key_stats
+def test_props_key_stats_handles_malformed_json(spark):
+    from log_analysis_system_spark.operators.relational import props_key_stats
+
+    events = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 5}'),
+            (2, "click", "not json"),
+            (3, "click", None),
+            (4, "view", '{"k": 7}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    rows = {r["event_type"]: r for r in props_key_stats(events).collect()}
+    assert rows["click"]["n"] == 3 and rows["click"]["n_with_k"] == 1
+    assert rows["click"]["sum_k"] == 5
+    assert rows["view"]["sum_k"] == 7
+
+
 def test_corpus_filter_no_collect_list_in_plan(spark):
     docs = _docs(spark, ["a b c d"])
     plan = dp.corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
