@@ -56,6 +56,38 @@ def write_table(
         w.mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Spark-managed BUCKETED table: rows hash-clustered (and sorted)
+    by ``bucket_col`` at write time, so every later join / groupBy on that
+    key reads co-located, pre-sorted buckets and plans NO Exchange — the
+    shuffle is paid once at ingest instead of per query. This is the
+    co-located-join layout the 100 TB design bets on for repeated fact-
+    fact joins (the Iceberg equivalent is a ``bucket(n, col)`` partition
+    transform in the table DDL; ``writeTo(...).partitionedBy(bucket(...))``
+    on the iceberg backend).
+
+    Hive-style bucketing requires ``saveAsTable`` (a catalog entry carries
+    the bucket spec); ``path`` makes it an external table at that location.
+    """
+    if table_format() == "iceberg":
+        from pyspark.sql.functions import bucket, col
+
+        df.writeTo(f"graft.{name}").partitionedBy(
+            bucket(n_buckets, col(bucket_col))
+        ).createOrReplace()
+        return
+    w = df.write.bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(name)
+
+
 def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     if table_format() == "iceberg":
         return spark.read.table(f"graft.{name}")

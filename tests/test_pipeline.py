@@ -126,3 +126,34 @@ def test_alert_throttling(spark, transcripts, tmp_path_factory):
         spark, str(out), high, "r3", now_epoch=1_000_000 + 4000
     )
     assert {r.alert_type for r in passed3.collect()} == types1
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """write_bucketed_table pays the shuffle at ingest: a fact-fact join on
+    the bucket key over two co-bucketed tables must plan NO shuffle
+    Exchange (the 100 TB repeated-join layout)."""
+    base = tmp_path_factory.mktemp("bucketed")
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text"
+    )
+    meta = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "id % 7 AS quality_bin"
+    )
+    catalog.write_bucketed_table(docs, "bkt_docs", "doc_id", 8, str(base / "d"))
+    catalog.write_bucketed_table(meta, "bkt_meta", "doc_id", 8, str(base / "m"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join to consider a shuffle (broadcast would hide it)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_docs").join(spark.table("bkt_meta"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+        # and the bucket layout serves bucket-key aggregation shuffle-free
+        agg = spark.table("bkt_docs").groupBy("doc_id").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_meta")
