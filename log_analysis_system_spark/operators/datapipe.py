@@ -212,6 +212,55 @@ def stratified_sample(
     )
 
 
+def embedding_centroid_distance(emb: DataFrame) -> DataFrame:
+    """Per-vector cosine to its label's centroid — the embedding-space
+    outlier signal a curation pipeline uses to catch mislabeled /
+    off-distribution examples.
+
+    Shape: centroids come from the (label, dim) partial-agg mean (see
+    :func:`embedding_centroids`), re-assembled into one array per label
+    (``collect_list`` bounded by the DIMENSION count, never row count),
+    then broadcast-joined back — the corpus side neither shuffles nor
+    collects. Cosine uses the same sequential zip_with/aggregate dot
+    product as the dedup operators (fixed order -> cross-engine stable);
+    output rounded to 6 dp, no discrete threshold flag (a tie at a cut
+    would be partition-order luck).
+    """
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = (
+        v.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent = (
+        cells.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    )
+    j = v.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return j.select(
+        "vec_id",
+        "label",
+        F.round(dot / (norm(F.col("v")) * norm(F.col("ce"))), 6).alias(
+            "cos_centroid"
+        ),
+    ).orderBy("vec_id")
+
+
 def corpus_filter(docs: DataFrame) -> DataFrame:
     """The composed keep/drop decision a corpus build actually applies:
     quality rules (textstats.quality_scores ``keep``) AND near-dup

@@ -310,6 +310,34 @@ def session_window_stats(
     )
 
 
+def value_percentiles_approx(
+    events: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """The 10^12-row percentile path: ``approx_percentile`` (KLL-style
+    mergeable sketch) instead of the exact sort-based ``percentile``.
+    Partials are fixed-size sketches merged map-side, so the shuffle
+    carries O(accuracy) per group instead of requiring a per-group sort.
+    Deterministic for a given input+accuracy but approximate -> no DuckDB
+    oracle row; tests bound the error against :func:`value_percentiles`.
+    """
+    pct = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_percentile("value", pct, accuracy).alias("p"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p95"),
+            F.col("p")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def props_key_stats(events: DataFrame) -> DataFrame:
     """Schema-on-read over the semi-structured ``props`` JSON column:
     extract ``$.k`` per row, aggregate per event_type.

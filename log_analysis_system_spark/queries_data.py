@@ -158,6 +158,10 @@ def q_stratified_sample(spark, sf_dir):
     return dp.stratified_sample(_docs(spark, sf_dir))
 
 
+def q_embedding_centroid_distance(spark, sf_dir):
+    return dp.embedding_centroid_distance(_emb(spark, sf_dir))
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     return mm.extract_features(mm.attach_binary_payload(_docs(spark, sf_dir)))
@@ -197,6 +201,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
+    "embedding_centroid_distance": q_embedding_centroid_distance,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
 }
@@ -565,6 +570,20 @@ WITH b AS (
 SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket,
        CAST(keep_pct AS INT) AS keep_pct
 FROM b WHERE bucket < keep_pct ORDER BY doc_id
+""",
+    "embedding_centroid_distance": f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+cells AS (
+  SELECT label, i, avg(e[i]) AS c
+  FROM v CROSS JOIN range(1, 4097) t(i)
+  WHERE i <= len(e)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(c ORDER BY i) AS ce FROM cells GROUP BY label)
+SELECT v.vec_id, v.label,
+       round({_COS.format(a="v.e", b="cent.ce")}, 6) AS cos_centroid
+FROM v JOIN cent USING (label)
+ORDER BY v.vec_id
 """,
 }
 ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]

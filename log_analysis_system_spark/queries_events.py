@@ -62,6 +62,12 @@ def q_props_key_stats(spark, sf_dir):
     return rel.props_key_stats(_events(spark, sf_dir))
 
 
+def q_value_percentiles_approx(spark, sf_dir):
+    # sketch-based -> approximate -> no oracle row (driver records
+    # rows-only); tests bound the error against the exact operator
+    return rel.value_percentiles_approx(_events(spark, sf_dir))
+
+
 QUERIES = {
     "sessionized_events": q_sessionized_events,
     "session_stats": q_session_stats,
@@ -72,6 +78,7 @@ QUERIES = {
     "approx_distinct_daily": q_approx_distinct_daily,
     "session_window_stats": q_session_window_stats,
     "props_key_stats": q_props_key_stats,
+    "value_percentiles_approx": q_value_percentiles_approx,
 }
 
 _GAP = rel.SESSION_GAP_MINUTES

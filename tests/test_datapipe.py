@@ -182,3 +182,36 @@ def test_corpus_filter_no_collect_list_in_plan(spark):
     docs = _docs(spark, ["a b c d"])
     plan = dp.corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
+
+
+# ------------------------------------------- embedding_centroid_distance
+def test_embedding_centroid_distance_known_geometry(spark):
+    # label 7: centroid of (1,0) and (0,1) is (0.5,0.5); both vecs at 45deg
+    # -> cos = 0.707107. label 8: single vec == its centroid -> cos = 1.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.0, 1.0], 7),
+            (2, [3.0, 4.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in dp.embedding_centroid_distance(emb).collect()}
+    assert rows[0]["cos_centroid"] == rows[1]["cos_centroid"] == 0.707107
+    assert rows[2]["cos_centroid"] == 1.0
+
+
+def test_embedding_centroid_distance_no_corpus_collect(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = (
+        dp.embedding_centroid_distance(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # centroid assembly may collect_list over DIMENSIONS; the corpus join
+    # side must be a broadcast of the tiny centroid frame
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

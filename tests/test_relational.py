@@ -252,3 +252,26 @@ def test_session_stats_reuses_window_partitioning(spark):
     # block: "Arguments: hashpartitioning(...)" / "rangepartitioning(...)"
     hash_exchanges = plan.count("Arguments: hashpartitioning")
     assert hash_exchanges == 1, plan
+
+
+def test_value_percentiles_approx_within_error_bound(spark):
+    """Sketch percentiles must track the exact sort-based ones: at
+    accuracy=10000 the rank error is <= n/10000, which on the test
+    distribution translates to a small relative value error."""
+    from log_analysis_system_spark.operators.relational import (
+        value_percentiles,
+        value_percentiles_approx,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {r["event_type"]: r for r in value_percentiles(events).collect()}
+    approx = {
+        r["event_type"]: r for r in value_percentiles_approx(events).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["n"] == e["n"]
+        for q in ("p50", "p95", "p99"):
+            denom = max(abs(e[q]), 1e-9)
+            assert abs(a[q] - e[q]) / denom < 0.02, (et, q, a[q], e[q])
