@@ -38,6 +38,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(_EVENT_QUERIES)
     except ImportError:
         pass
+    try:
+        from log_analysis_system_spark.queries_tpch import QUERIES as _TPCH_QUERIES
+
+        out.update(_TPCH_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -54,6 +60,12 @@ def oracle_sql() -> dict[str, str]:
         from log_analysis_system_spark.queries_events import ORACLES as _EVENT_ORACLES
 
         out.update(_EVENT_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from log_analysis_system_spark.queries_tpch import ORACLES as _TPCH_ORACLES
+
+        out.update(_TPCH_ORACLES)
     except ImportError:
         pass
     return out

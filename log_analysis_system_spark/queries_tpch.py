@@ -1,0 +1,161 @@
+"""Classic warehouse-analytics queries over the TPC-H-ish tables, with
+paired DuckDB oracle SQL — the multi-table star-join breadth check.
+
+Shapes (not copies — column subset differs from official TPC-H):
+
+- ``pricing_summary`` (Q1 shape): the canonical scan-heavy grouped
+  aggregate; all sums decimal-cast so partition order can't flip the
+  value hash.
+- ``shipping_priority`` (Q3 shape): selective dim filter -> 3-way join ->
+  grouped revenue -> top-10. The customer side is small and broadcasts;
+  the orders<->lineitem join shuffles on orderkey (AQE picks the
+  strategy at scale). Rank ties break on orderkey for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+Q1_CUTOFF = "2001-09-01"
+Q3_SEGMENT = "BUILDING"
+Q3_ORDER_BEFORE = "1999-03-15"
+Q3_SHIP_AFTER = "1998-03-15"
+Q3_TOP_N = 10
+
+_DEC = "decimal(28,10)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = Q1_CUTOFF) -> DataFrame:
+    """Q1 shape: single-pass grouped aggregate over the fact scan —
+    partial-agg map-side; the shuffle carries |flag x status| rows."""
+    # per-row products in DOUBLE (bit-identical across engines: IEEE ops
+    # on identical inputs), THEN decimal-cast so the cross-partition SUM
+    # is order-free — casting before multiplying would hit Spark's and
+    # DuckDB's different decimal-product scale promotions
+    disc_price = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast(_DEC)
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast(_DEC)
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = Q3_SEGMENT,
+    top_n: int = Q3_TOP_N,
+) -> DataFrame:
+    """Q3 shape: filter the small dim FIRST, broadcast it into orders,
+    shuffle-join lineitem on orderkey, aggregate revenue, rank top-n
+    (WindowGroupLimit pushes the limit below the final sort)."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < F.lit(Q3_ORDER_BEFORE)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = lineitem.where(F.col("l_shipdate") > F.lit(Q3_SHIP_AFTER)).select(
+        "l_orderkey",
+        # double product per row, decimal for the order-free sum (see Q1)
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).cast(_DEC).alias("rev"),
+    )
+    joined = (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev").cast("double"), 6).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue",
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("rank")
+    )
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_shipping_priority(spark, sf_dir):
+    return shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+QUERIES = {
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "tpch_shipping_priority": q_tpch_shipping_priority,
+}
+
+ORACLES = {
+    "tpch_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "tpch_shipping_priority": f"""
+WITH agg AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                             AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS revenue
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{Q3_ORDER_BEFORE} 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '{Q3_SHIP_AFTER} 00:00:00'
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+  FROM agg
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {Q3_TOP_N}
+ORDER BY rank
+""",
+}
