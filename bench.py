@@ -44,6 +44,12 @@ DATA_HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "ann_topk_cosine",
+    # round-2 additions (per-query times comparable across rounds; the
+    # TOTAL is not — the headline set grew)
+    "pii_redaction",
+    "sequence_pack",
+    "session_stats",
+    "tpch_shipping_priority",
 ]
 
 
