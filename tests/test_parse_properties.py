@@ -109,3 +109,45 @@ def test_common_fields_round_trip(spark, specs):
         assert r["bytes_sent"] == (0 if nb == "-" else int(nb))
         assert r["response_time"] == 0.0  # absent -> 0.0, not NULL
         assert r["ts_parsed"] is not None  # tz token dropped, still parses
+
+
+# ---------------------------------------------------------- PII properties
+PII_TEXT = st.one_of(
+    st.text(max_size=80),
+    st.tuples(IP, st.text(max_size=20), IP).map(lambda t: f"{t[1]} {t[0]} x {t[2]}"),
+    st.tuples(st.from_regex(r"[a-z]{1,8}@[a-z]{1,8}\.[a-z]{2,4}", fullmatch=True),
+              st.text(max_size=20)).map(lambda t: f"{t[1]} {t[0]}"),
+)
+
+
+@given(st.lists(PII_TEXT, min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_pii_redaction_leaves_no_residual_matches_and_is_idempotent(
+    spark, texts
+):
+    """For arbitrary text: (a) the redacted output contains no remaining
+    IPv4/email/secret match, (b) redacting twice equals redacting once."""
+    import re
+
+    from log_analysis_system_spark.operators.datapipe import (
+        PII_PATTERNS,
+        pii_redaction,
+    )
+
+    df = spark.createDataFrame(
+        [("c", i, "user", t, None, None) for i, t in enumerate(texts)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    once = pii_redaction(df)
+    rows = {r["turn_idx"]: r["redacted"] for r in once.collect()}
+    for red in rows.values():
+        for _, pat, _repl in PII_PATTERNS:
+            assert not re.search(pat, red), (red, pat)
+    twice_df = spark.createDataFrame(
+        [("c", i, "user", red, None, None) for i, red in rows.items()],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    twice = {r["turn_idx"]: r["redacted"] for r in pii_redaction(twice_df).collect()}
+    assert twice == rows
