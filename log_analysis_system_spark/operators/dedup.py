@@ -140,6 +140,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def _band_entries(sh: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bkey) LSH bucket entries from a shingle frame.
+
+    Two projections on purpose: hash each shingle string once, then take
+    the bands*rows seeded minima over the 8-byte hashes (HOFs are
+    interpreted and inline their argument subtree — texthash.shingle_hashes).
+    Band key = xxhash64 over the band's signature slice (array equality ->
+    hash); shingle arrays are NOT carried through the x`bands` explode —
+    they join back only for candidate verification.
+    """
+    sig = sh.select(
+        "doc_id", shingle_hashes(F.col("ts")).alias("hs")
+    ).select(
+        "doc_id", minhash_signature(F.col("hs"), bands * rows).alias("mh")
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("mh", b * rows + 1, rows)).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -158,7 +189,6 @@ def minhash_lsh_pairs(
     At 10^12 rows the bucket join replaces the all-pairs problem with
     per-bucket blocks; AQE skew-split handles pathological buckets.
     """
-    n_hashes = bands * rows
     # Lazy localCheckpoint: the shingle frame feeds the signature AND both
     # sides of the verify join below — one tokenize/shingle pass instead of
     # three (MEMORY_AND_DISK blocks, computed on first action). Unlike
@@ -172,32 +202,7 @@ def minhash_lsh_pairs(
     # the 10^12-row design point prefer reliable checkpoints to cluster
     # storage, or persist+unpersist, when executor churn is expected.
     sh = _shingle_docs(docs, k, nonempty=True).localCheckpoint(eager=False)
-    # Two projections on purpose: hash each shingle string once, then take
-    # the 36 seeded minima over the 8-byte hashes (HOFs are interpreted and
-    # inline their argument subtree — see texthash.shingle_hashes).
-    sig = sh.select(
-        "doc_id", shingle_hashes(F.col("ts")).alias("hs")
-    ).select(
-        "doc_id", minhash_signature(F.col("hs"), n_hashes).alias("mh")
-    )
-    # band key: xxhash64 over the band's row slice (array equality -> hash).
-    # Shingle arrays are NOT carried through the x`bands` explode — the
-    # candidate set is tiny relative to the corpus, so arrays are joined
-    # back only for verification.
-    band_entries = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("mh", b * rows + 1, rows)).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    band_entries = _band_entries(sh, bands, rows)
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -225,6 +230,64 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = 3,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """Incremental (cross-corpus) MinHash+LSH dedup: which NEW documents
+    are near-dups of the EXISTING corpus — the shape a daily ingest
+    actually runs, as opposed to the one-shot self-join.
+
+    Candidates come from a new-side x corpus-side band-bucket join (never
+    new x new or corpus x corpus), then exact-Jaccard verification on the
+    two shingle frames. Per-batch cost is proportional to the batch, not
+    the corpus: at 10^12 corpus rows the corpus band-entry and shingle
+    tables are written ONCE (bucketed by bkey / doc_id respectively via
+    ``catalog.write_bucketed_table``) and each ingest batch probes them —
+    this function expresses the per-batch plan; only the corpus-side
+    scans change when the tables are pre-materialized.
+
+    Output: one row per (new_id, corpus_id) verified pair >= threshold.
+    """
+    sh_new = _shingle_docs(new_docs, k, nonempty=True).localCheckpoint(eager=False)
+    sh_old = _shingle_docs(corpus_docs, k, nonempty=True).localCheckpoint(eager=False)
+    a = _band_entries(sh_new, bands, rows).alias("a")
+    b = _band_entries(sh_old, bands, rows).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    cand = (
+        cand.join(
+            sh_new.select(F.col("doc_id").alias("new_id"), F.col("ts").alias("ts_a")),
+            "new_id",
+        ).join(
+            sh_old.select(F.col("doc_id").alias("corpus_id"), F.col("ts").alias("ts_b")),
+            "corpus_id",
+        )
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("new_id", "corpus_id")
     )
 
 

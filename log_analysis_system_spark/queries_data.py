@@ -74,6 +74,16 @@ def q_dedup_components(spark, sf_dir):
     return dd.dedup_components(_docs(spark, sf_dir))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-ingest shape: even doc_ids play the existing corpus, odd ones
+    the new batch (interleaved so planted near-dup pairs straddle the
+    split); emit verified cross near-dups."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return dd.minhash_lsh_incremental(new, corpus)
+
+
 # -------------------------------------------------------------- similarity
 def q_ann_topk_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
@@ -184,6 +194,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_components": q_dedup_components,
+    "dedup_incremental": q_dedup_incremental,
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_topk_cosine_np": q_ann_topk_cosine_np,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -304,6 +315,26 @@ ORDER BY canonical_id, dup_id
 """,
     "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
     "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
+    # exact cross-split Jaccard: the probabilistic candidate stage must
+    # reach recall 1.0 on the planted near-dups or the gate fails loudly
+    "dedup_incremental": f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, len(ts) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS c
+  FROM ex a JOIN ex b USING (s)
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = corpus_id
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= {dd.JACCARD_THRESHOLD}
+ORDER BY new_id, corpus_id
+""",
     # connected components of the near-dup pair graph via recursive CTE:
     # min reachable doc_id per doc (singletons map to themselves)
     "dedup_components": "WITH RECURSIVE "

@@ -53,6 +53,31 @@ def test_minhash_equals_exact_on_testdata(spark):
     assert exact, "testdata should contain planted near-duplicates"
 
 
+def test_incremental_dedup_matches_cross_slice_of_self_join(spark):
+    """The incremental (new x corpus) variant must emit exactly the
+    self-join pairs that straddle the split — no new-x-new or
+    corpus-x-corpus pairs, none missing."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    expected = {
+        (min(a, b), max(a, b), j)
+        for a, b, j in full
+        if a % 2 != b % 2  # pairs straddling the even/odd split
+    }
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    got = {
+        (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id), r.jaccard)
+        for r in dd.minhash_lsh_incremental(new, corpus).collect()
+    }
+    assert got == expected and got
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     t = "alpha beta gamma delta epsilon zeta eta theta"
     df = docs_df(spark, [t, t, "unrelated totally other words list here ok"])
