@@ -1,5 +1,6 @@
-"""Driver-facing training-data queries (dedup / similarity / text analysis
-/ multimodal) with paired DuckDB oracle SQL.
+"""Driver-facing training-data queries (dedup — self-join, incremental,
+components / similarity / text analysis / corpus-pipeline stages /
+multimodal) with paired DuckDB oracle SQL.
 
 Oracle design notes:
 
