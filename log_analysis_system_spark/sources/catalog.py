@@ -88,6 +88,50 @@ def write_bucketed_table(
     w.mode("overwrite").format("parquet").saveAsTable(name)
 
 
+def compact_table(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a (hive-partitioned parquet) table so
+    each partition holds ONE file instead of the per-append fragments the
+    fan-out sinks accumulate (every pipeline run appends >= 1 file per
+    bucket per sink; after N runs a 10^12-row table is N-way fragmented and
+    scan planning + open() overhead dominates small queries).
+
+    Shape: one shuffle keyed on the partition columns (each partition's
+    rows converge on one task -> one output file), dynamic partition
+    overwrite so concurrent readers of untouched partitions are unaffected.
+    The Iceberg backend's equivalent is the `rewrite_data_files` procedure
+    (compaction is a first-class maintenance action there); this is the
+    parquet-dir fallback. Returns the row count rewritten (an end-to-end
+    conservation check for callers).
+    """
+    if table_format() == "iceberg":
+        raise NotImplementedError(
+            "use Iceberg's rewrite_data_files procedure on the iceberg backend"
+        )
+    cols = partition_cols or ["bucket"]
+    # eager checkpoint breaks the read->overwrite cycle (Spark refuses to
+    # overwrite a path its plan still reads). Fine at sink-table scale;
+    # for a 10^12-row table compact per partition batch, or write to a
+    # staging dir and swap (what Iceberg's rewrite procedure does with
+    # snapshots) instead of materializing the whole table.
+    df = spark.read.parquet(f"{base_dir}/{name}").localCheckpoint(eager=True)
+    n = df.count()
+    from pyspark.sql import functions as F
+
+    compacted = df.repartition(*[F.col(c) for c in cols])
+    (
+        compacted.write.partitionBy(*cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{base_dir}/{name}")
+    )
+    return n
+
+
 def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     if table_format() == "iceberg":
         return spark.read.table(f"graft.{name}")
