@@ -197,6 +197,49 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 50
+
+
+def vocab_top_terms(docs: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with occurrence
+    count, document frequency, corpus share, and CUMULATIVE coverage — the
+    curve a tokenizer design reads to pick a vocab size ("how many types
+    cover 95% of tokens").
+
+    Shapes: one (term)-keyed partial-agg count over the exploded corpus
+    (hot terms partial-aggregate map-side); the rank and the running
+    coverage windows run on the tiny aggregated vocab (and the cumulative
+    window on the k-row head only), never on corpus rows. Ties rank by
+    term string for cross-engine determinism.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = tok.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    counts = per_doc.groupBy("term").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count("*").alias("doc_freq"),
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("total"))
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(total))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        "n_occurrences",
+        "doc_freq",
+        F.round(F.col("n_occurrences") / F.col("total"), 6).alias("share"),
+        F.round(F.sum("n_occurrences").over(w_cum) / F.col("total"), 6).alias(
+            "cum_coverage"
+        ),
+    ).orderBy("rank")
+
+
 def fingerprints(docs: DataFrame, k: int = 3, n: int = 4) -> DataFrame:
     """Bottom-n sketch fingerprint: the n smallest md5-60bit shingle hashes
     per doc (a fixed-size, order-insensitive content signature usable for

@@ -149,6 +149,10 @@ def q_tfidf_top_terms(spark, sf_dir):
     return ts.tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def q_vocab_top_terms(spark, sf_dir):
+    return ts.vocab_top_terms(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark, sf_dir):
     return dp.repetition_stats(_docs(spark, sf_dir))
 
@@ -208,6 +212,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "source_mixture": q_source_mixture,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "vocab_top_terms": q_vocab_top_terms,
     "text_repetition": q_text_repetition,
     "sequence_pack": q_sequence_pack,
     "embedding_centroids": q_embedding_centroids,
@@ -513,6 +518,28 @@ SELECT doc_id,
        round(avg(v) FILTER (c = 1), 6) AS mean_c1,
        round(avg(v) FILTER (c = 2), 6) AS mean_c2
 FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+    "vocab_top_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+per_doc AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY term, doc_id),
+counts AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS n_occurrences,
+         count(*) AS doc_freq
+  FROM per_doc GROUP BY term
+),
+total AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM counts),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, term) AS rank
+  FROM counts
+)
+SELECT CAST(r.rank AS INT) AS rank, r.term, r.n_occurrences, r.doc_freq,
+       round(r.n_occurrences::DOUBLE / t.total, 6) AS share,
+       round(CAST(sum(r.n_occurrences) OVER (
+                ORDER BY r.rank ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / t.total, 6) AS cum_coverage
+FROM ranked r CROSS JOIN total t
+WHERE r.rank <= {ts.VOCAB_TOP_K}
+ORDER BY r.rank
 """,
     "text_repetition": f"""
 WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),

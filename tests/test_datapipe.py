@@ -215,3 +215,19 @@ def test_embedding_centroid_distance_no_corpus_collect(spark):
     # centroid assembly may collect_list over DIMENSIONS; the corpus join
     # side must be a broadcast of the tiny centroid frame
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ----------------------------------------------------------- vocab_top_terms
+def test_vocab_top_terms_coverage_monotone_and_exact(spark):
+    from log_analysis_system_spark.operators.textstats import vocab_top_terms
+
+    docs = _docs(spark, ["a a a b b c", "a b d", "a e"])
+    rows = vocab_top_terms(docs, k=3).collect()
+    assert [r["term"] for r in rows] == ["a", "b", "c"]  # ties break on term
+    assert [r["n_occurrences"] for r in rows] == [5, 3, 1]
+    assert rows[0]["doc_freq"] == 3
+    total = 11
+    assert rows[0]["share"] == round(5 / total, 6)
+    assert rows[1]["cum_coverage"] == round(8 / total, 6)
+    cum = [r["cum_coverage"] for r in rows]
+    assert cum == sorted(cum)
