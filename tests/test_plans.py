@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "overall_response_stats",
     "overall_error_rate",
     "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
+    "vocab_top_terms",        # 1-row total-token frame broadcast into shares
 }
 
 CARTESIAN = re.compile(r"CartesianProduct")
