@@ -37,6 +37,11 @@ BNLJ_ALLOWED = {
     "overall_error_rate",
     "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
     "vocab_top_terms",        # 1-row total-token frame broadcast into shares
+    # invariant-check wrappers: 1-row verdict aggregates joined conditionless
+    # (plus the BNLJ shapes inherited from the operators they gate)
+    "dedup_embedding_lsh_check",
+    "ann_lsh_check",
+    "ann_ivf_check",
 }
 
 CARTESIAN = re.compile(r"CartesianProduct")
