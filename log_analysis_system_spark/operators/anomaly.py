@@ -112,6 +112,9 @@ def traffic_rolling_anomalies(
     the request-count series; NaN positions fall back to the global mean/std;
     anomaly when outside mu +- z*sigma."""
     series = traffic_by_interval(parsed, interval)
+    # unpartitioned window = single task, but over the AGGREGATED series:
+    # its row count is bounded by time-range/interval (e.g. 10 years of
+    # hourly buckets = 87k rows), not by corpus size — safe at any SF
     frame = (
         Window.orderBy("window_start")
         .rowsBetween(-(cfg.rolling_window - 1), Window.currentRow)

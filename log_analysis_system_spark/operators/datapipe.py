@@ -153,12 +153,18 @@ def sequence_pack(
             "n_tokens",
             start.alias("start_offset"),
             end.alias("end_offset"),
-            # n_tokens >= 1 always: a single-space split of any string
-            # (even '') yields at least one element, in Spark and DuckDB
-            (start / seq_len).cast("long").alias("seq_first"),
-            ((end - 1) / seq_len).cast("long").alias("seq_last"),
         )
-        .orderBy("doc_id")
+        # integer `div`, not double division: a truncated double quotient
+        # can misfloor at sequence boundaries once offsets approach 2^53
+        # (the 10^12-doc design point); `div` keeps both engines in exact
+        # 64-bit integer arithmetic. n_tokens >= 1 always: a single-space
+        # split of any string (even '') yields at least one element, in
+        # Spark and DuckDB.
+        .select(
+            "*",
+            F.expr(f"start_offset div {int(seq_len)}").alias("seq_first"),
+            F.expr(f"(end_offset - 1) div {int(seq_len)}").alias("seq_last"),
+        )
     )
 
 
@@ -283,5 +289,4 @@ def corpus_filter(docs: DataFrame) -> DataFrame:
             .when(~is_canonical, F.lit("duplicate"))
             .alias("reason"),
         )
-        .orderBy("doc_id")
     )

@@ -565,4 +565,6 @@ def dedup_components(
         labels = updated
         if changed == 0:
             break
-    return labels.orderBy("doc_id")
+    # unsorted: a global presentation sort on a corpus-sized frame would
+    # dominate the plan at scale; the registry wrapper adds it for the oracle
+    return labels

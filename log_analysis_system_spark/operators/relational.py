@@ -45,7 +45,10 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
     """Gap-based sessionization: a new session starts when the gap to the
     user's previous event exceeds ``gap_minutes`` (or at the first event).
 
-    Output: one row per event with its (user-scoped) ``session_seq``.
+    Output: one row per event with its (user-scoped) ``session_seq``,
+    UNSORTED — at 100 TB a global presentation sort would be the most
+    expensive node in the plan; callers that need an order add it (the
+    query registry wrappers do, for deterministic oracle comparison).
     Scale: single shuffle on user_id; per-user sort is the only per-key
     cost. Hot users are bounded by their own event count (no blowup).
     """
@@ -68,7 +71,6 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
             ),
         )
         .select("event_id", "user_id", "ts", "event_type", "session_seq")
-        .orderBy("user_id", "ts", "event_id")
     )
 
 
@@ -167,7 +169,6 @@ def asof_join(
                 6,
             ).alias("lag_sec"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -224,7 +225,6 @@ def range_join_follow_counts(
             "ts",
             F.coalesce(F.col("n_follow"), F.lit(0)).alias("n_follow"),
         )
-        .orderBy("event_id")
     )
 
 

@@ -72,7 +72,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_dedup_components(spark, sf_dir):
-    return dd.dedup_components(_docs(spark, sf_dir))
+    # presentation sorts live in the registry wrappers (deterministic oracle
+    # diffing); library callers get the unsorted frames
+    return dd.dedup_components(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -158,7 +160,7 @@ def q_text_repetition(spark, sf_dir):
 
 
 def q_sequence_pack(spark, sf_dir):
-    return dp.sequence_pack(_docs(spark, sf_dir))
+    return dp.sequence_pack(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_embedding_centroids(spark, sf_dir):
@@ -166,7 +168,7 @@ def q_embedding_centroids(spark, sf_dir):
 
 
 def q_corpus_filter(spark, sf_dir):
-    return dp.corpus_filter(_docs(spark, sf_dir))
+    return dp.corpus_filter(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_stratified_sample(spark, sf_dir):

@@ -27,7 +27,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionized_events(spark, sf_dir):
-    return rel.sessionize(_events(spark, sf_dir))
+    # presentation sort lives in the wrapper: library callers of the
+    # operator get the unsorted frame (no global sort at scale)
+    return rel.sessionize(_events(spark, sf_dir)).orderBy(
+        "user_id", "ts", "event_id"
+    )
 
 
 def q_session_stats(spark, sf_dir):
@@ -35,11 +39,15 @@ def q_session_stats(spark, sf_dir):
 
 
 def q_asof_error_click(spark, sf_dir):
-    return rel.asof_join(_events(spark, sf_dir), "error", "click")
+    return rel.asof_join(_events(spark, sf_dir), "error", "click").orderBy(
+        "event_id"
+    )
 
 
 def q_range_follow_counts(spark, sf_dir):
-    return rel.range_join_follow_counts(_events(spark, sf_dir))
+    return rel.range_join_follow_counts(_events(spark, sf_dir)).orderBy(
+        "event_id"
+    )
 
 
 def q_topk_users_per_type(spark, sf_dir):
