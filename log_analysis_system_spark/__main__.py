@@ -10,9 +10,11 @@ Mirrors the reference's argparse entry point (``main.py:48-78`` —
         [--suspicious-ips ips.txt] [--buckets 32] \
         [--parse-engine pandas|sql] [--master local[*]]
 
-``--input`` accepts either a testdata scale dir (containing
-``events.parquet`` — transcripts are rendered from it deterministically) or
-a parquet of transcripts (must carry ``conv_id, turn_idx, text`` columns).
+``--input`` accepts a testdata scale dir (containing ``events.parquet`` —
+transcripts are rendered from it deterministically), a directory of raw
+``*.log`` files (the reference's primary front door — read line-by-line
+with per-file lineage, see ``sources/logfiles.py``), or a parquet of
+transcripts (must carry ``conv_id, turn_idx, text`` columns).
 Prints a one-line JSON run summary to stdout.
 """
 
@@ -54,13 +56,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def load_input(spark, path: str):
+    import glob as globmod
+
     from .sources.events_transcripts import render_transcripts
+    from .sources.logfiles import read_log_dir
 
     events_path = os.path.join(path, "events.parquet")
     if os.path.isdir(path) and os.path.exists(events_path):
         events = spark.read.parquet(events_path)
         events = events.repartition(spark.sparkContext.defaultParallelism)
         return render_transcripts(events)
+    # raw .log directory: the reference's primary front door
+    # (helpers.py:95-119 glob + main.py:113-145 per-line read)
+    if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.log")):
+        return read_log_dir(spark, path)
     df = spark.read.parquet(path)
     missing = {"conv_id", "turn_idx", "text"} - set(df.columns)
     if missing:
