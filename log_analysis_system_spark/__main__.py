@@ -33,8 +33,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
         description="PySpark log-analysis pipeline (parse -> enrich -> "
         "route -> aggregate) with bucketed resume.",
     )
-    p.add_argument("--input", required=True,
-                   help="scale dir with events.parquet, or a transcripts parquet")
+    p.add_argument("--input", default=None,
+                   help="scale dir with events.parquet, a directory of raw "
+                   "*.log files, or a transcripts parquet (not needed with "
+                   "--report / --analyze-only)")
     p.add_argument("--output", required=True, help="output table directory")
     p.add_argument("--run-id", default=None,
                    help="run id for lineage/resume (default: random)")
@@ -43,6 +45,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--analyze-only", action="store_true",
                    help="skip parsing; re-run analysis over the existing "
                    "parsed_turns sink (reference main.py --analyze-only)")
+    p.add_argument("--report", action="store_true",
+                   help="render the console report from the sinks under "
+                   "--output and exit (reference dashboard.py display)")
     p.add_argument("--config", default=None, help="config.yaml (reference schema)")
     p.add_argument("--patterns", default=None, help="patterns.yaml (reference schema)")
     p.add_argument("--suspicious-ips", default=None, help="suspicious_ips.txt")
@@ -80,7 +85,10 @@ def load_input(spark, path: str):
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if not args.input and not (args.report or args.analyze_only):
+        parser.error("--input is required unless --report/--analyze-only")
 
     from .config import DEFAULT_CONFIG, load_config
     from .pipeline import run_pipeline
@@ -95,8 +103,18 @@ def main(argv: list[str] | None = None) -> int:
     else:
         cfg = DEFAULT_CONFIG
 
+    from pyspark.sql import SparkSession
+
+    # get_spark is getOrCreate: only stop the session if WE created it
+    # (in-process callers — tests, notebooks — keep theirs alive)
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="log-analysis-system-cli", master=args.master)
     try:
+        if args.report:
+            from .report import render_report
+
+            print(render_report(spark, args.output))
+            return 0
         transcripts = None if args.analyze_only else load_input(spark, args.input)
         result = run_pipeline(
             spark,
@@ -117,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
             "sink_counts": result.sink_counts,
         }))
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
     return 0
 
 
