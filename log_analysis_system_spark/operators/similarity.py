@@ -308,7 +308,10 @@ _ASSIGN_SCHEMA = StructType(
 
 
 def ivf_assignments(
-    emb: DataFrame, k: int = IVF_LISTS, iterations: int = IVF_ITERATIONS
+    emb: DataFrame,
+    k: int = IVF_LISTS,
+    iterations: int = IVF_ITERATIONS,
+    train_fraction: float = 1.0,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Deterministic IVF coarse quantizer: Lloyd's k-means with md5-seeded
     init (the k vectors with the smallest md5-hash of their id — stable
@@ -316,30 +319,46 @@ def ivf_assignments(
 
     Returns (assignments df [vec_id, list_id], centroids as driver list).
     Each iteration: one Arrow-batched argmin pass + one posexplode/groupBy
-    mean — the standard distributed Lloyd shape; at 10^12 rows train on a
-    sampled subset and only the final assignment pass touches the corpus.
+    mean — the standard distributed Lloyd shape.
+
+    ``train_fraction < 1`` is the 10^12-row path: seeds and every Lloyd
+    iteration run on a deterministic md5-bucket sample (a vector's
+    membership never changes as the corpus grows — same property as
+    ``dataset_split``), and only the FINAL assignment pass touches the full
+    corpus. Training cost scales with the sample, not the corpus;
+    ``tests/test_dataops.py::test_ivf_sampled_training`` replays the
+    sampled Lloyd loop in NumPy and asserts the Spark centroids match, so
+    the iterations provably never read outside the sample.
     """
+    from ..functions.texthash import md5_hash60
+
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # bigint hash (NOT bare F.conv, which returns a STRING: its modulo
+    # would round-trip through double and lose bits above 2^53, and its
+    # orderBy would sort lexicographically)
+    vhash = md5_hash60(F.col("vec_id").cast("string"))
+    if train_fraction < 1.0:
+        # md5-bucket sample in [0, 1000): deterministic, engine-independent
+        train = v.where(vhash % 1000 < int(train_fraction * 1000))
+    else:
+        train = v
     seeds = (
-        v.withColumn(
-            "h",
-            F.conv(
-                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-            ),
-        )
+        train.withColumn("h", vhash)
         .orderBy("h", "vec_id")
         .limit(k)
         .collect()
     )
     centroids = [(i, list(r["v"])) for i, r in enumerate(seeds)]
 
-    def assign(cents) -> DataFrame:
-        return v.mapInPandas(_assign_udf(_centroid_matrix(cents)), _ASSIGN_SCHEMA)
+    def assign(frame: DataFrame, cents) -> DataFrame:
+        return frame.mapInPandas(
+            _assign_udf(_centroid_matrix(cents)), _ASSIGN_SCHEMA
+        )
 
     for _ in range(iterations):
-        assigned = v.join(assign(centroids), "vec_id")
+        assigned = train.join(assign(train, centroids), "vec_id")
         means = (
             assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("list_id", "pos")
@@ -353,7 +372,7 @@ def ivf_assignments(
         )
         new_centroids = {r["list_id"]: list(r["centroid"]) for r in means}
         centroids = [(i, new_centroids.get(i, c)) for i, c in centroids]
-    return assign(centroids), centroids
+    return assign(v, centroids), centroids
 
 
 def probe_rows_for(
@@ -406,6 +425,7 @@ def ann_ivf(
     k: int = DEFAULT_K,
     lists: int = IVF_LISTS,
     nprobe: int = IVF_NPROBE,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into ``lists`` inverted lists;
     each query probes its ``nprobe`` nearest centroids and scores only
@@ -415,7 +435,9 @@ def ann_ivf(
     :func:`ann_ivf_partitioned` for the materialized layout where a probe
     becomes a partition-pruned scan reading ~nprobe/lists of the files
     (asserted by ``test_dataops.test_ivf_partition_pruning``)."""
-    assignments, centroids = ivf_assignments(emb, k=lists)
+    assignments, centroids = ivf_assignments(
+        emb, k=lists, train_fraction=train_fraction
+    )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
@@ -435,13 +457,16 @@ def write_ivf_partitioned(
     path: str,
     lists: int = IVF_LISTS,
     iterations: int = IVF_ITERATIONS,
+    train_fraction: float = 1.0,
 ):
     """Materialize the corpus partitioned by inverted list — the storage
     layout behind IVF at scale (parquet ``partitionBy(list_id)`` here;
     Iceberg ``PARTITIONED BY (list_id)`` on a real catalog). Returns the
     trained centroids; pair with :func:`ann_ivf_partitioned`, whose probes
     then read only the probed lists' files (partition pruning)."""
-    assignments, centroids = ivf_assignments(emb, k=lists, iterations=iterations)
+    assignments, centroids = ivf_assignments(
+        emb, k=lists, iterations=iterations, train_fraction=train_fraction
+    )
     (
         emb.join(assignments, "vec_id")
         .write.mode("overwrite")

@@ -341,3 +341,51 @@ def test_ivf_partition_pruning(spark, tmp_path):
         ).collect()
     ]
     assert got == want and got
+
+
+def test_ivf_sampled_training_recall_and_sample_only(spark):
+    """train_fraction=0.25: (a) recall vs brute force stays above the
+    collapse floor, and (b) the trained centroids EQUAL a NumPy replay of
+    Lloyd's loop over exactly the deterministic md5-bucket sample — proving
+    the Spark iterations never read a vector outside the sample."""
+    import hashlib
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+
+    frac = 0.25
+    approx = sim.ann_ivf(emb, q, k=3, train_fraction=frac)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"sampled-training IVF recall {recall} collapsed"
+
+    _, centroids = sim.ivf_assignments(emb, k=sim.IVF_LISTS, train_fraction=frac)
+
+    # ---- NumPy replay over the deterministic sample ----
+    rows = emb.select("vec_id", "embedding").collect()
+    def h60(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+    sample = [(r["vec_id"], r["embedding"]) for r in rows
+              if h60(r["vec_id"]) % 1000 < int(frac * 1000)]
+    assert 0 < len(sample) < len(rows), "sample must be a strict subset"
+    seeds = sorted(sample, key=lambda t: (h60(t[0]), t[0]))[: sim.IVF_LISTS]
+    cents = np.array([list(map(float, v)) for _, v in seeds], dtype=np.float64)
+    mat = np.array([list(map(float, v)) for _, v in sample], dtype=np.float64)
+    for _ in range(sim.IVF_ITERATIONS):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for li in range(sim.IVF_LISTS):
+            if (lab == li).any():
+                cents[li] = mat[lab == li].mean(axis=0)
+
+    got_c = np.array([c for _, c in centroids], dtype=np.float64)
+    assert np.allclose(got_c, cents, rtol=1e-9, atol=1e-12), (
+        "Spark centroids diverge from the sample-only NumPy replay - "
+        "training touched rows outside the md5 sample"
+    )
