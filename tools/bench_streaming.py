@@ -1,0 +1,136 @@
+"""Streaming-surface throughput bench (VERDICT r2 item 9).
+
+Generates a synthetic transcript backlog (many parquet files, so the file
+source has real micro-batch granularity), then drains it with each
+streaming operator under ``availableNow`` and reports turns/sec:
+
+- ``route``: the full parse -> enrich -> detect -> per-severity-sink
+  foreachBatch pipeline (real sink writes — that IS its job);
+- ``session_stats``: native session_window agg -> noop-equivalent memory
+  sink (compute only);
+- ``dedup``: dropDuplicatesWithinWatermark -> memory sink;
+- ``conv_state``: applyInPandasWithState per-conversation totals.
+
+Usage: python tools/bench_streaming.py [n_turns] [n_files]
+Prints one JSON line; BASELINE.md records results + host-probe context.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    from hostprobe import probe
+
+    from log_analysis_system_spark.datagen.transcripts import synth_transcripts
+    from log_analysis_system_spark.session import get_spark
+    from log_analysis_system_spark.streaming import stream_pipeline as sp
+
+    host = probe()
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_stream_", dir=base)
+    inp = os.path.join(work, "transcripts")
+    synth_transcripts(spark, n_turns, max(100, n_turns // 200)).repartition(
+        n_files
+    ).write.parquet(inp)
+
+    results: dict[str, dict] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        results[name] = {
+            "wall_s": round(wall, 2),
+            "turns_per_sec": round(n_turns / wall, 1),
+        }
+
+    def drain(df, out_name: str, **write_kw) -> None:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(out_name)
+            .option(
+                "checkpointLocation", os.path.join(work, f"ckpt_{out_name}")
+            )
+            .outputMode(write_kw.pop("output_mode", "update"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # 1) full route pipeline with real sinks
+    out_dir = os.path.join(work, "route_out")
+    timed(
+        "route",
+        lambda: sp.streaming_route(
+            sp.read_transcript_stream(spark, inp, max_files_per_trigger=16),
+            out_dir,
+            os.path.join(work, "ckpt_route"),
+        ).awaitTermination(),
+    )
+
+    # 2) session-window aggregation (append once watermark passes)
+    timed(
+        "session_stats",
+        lambda: drain(
+            sp.streaming_session_stats(
+                sp.read_transcript_stream(spark, inp, max_files_per_trigger=16)
+            ),
+            "sess",
+            output_mode="append",
+        ),
+    )
+
+    # 3) watermarked streaming dedup
+    timed(
+        "dedup",
+        lambda: drain(
+            sp.streaming_dedup(
+                sp.read_transcript_stream(spark, inp, max_files_per_trigger=16)
+            ),
+            "dedup",
+            output_mode="append",
+        ),
+    )
+
+    # 4) custom stateful per-conversation totals
+    timed(
+        "conv_state",
+        lambda: drain(
+            sp.streaming_conversation_state(
+                sp.read_transcript_stream(spark, inp, max_files_per_trigger=16),
+                idle_timeout_ms=None,
+            ),
+            "convstate",
+            output_mode="update",
+        ),
+    )
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({
+        "n_turns": n_turns,
+        "n_files": n_files,
+        "cpus": os.cpu_count(),
+        "host_probe": host,
+        "operators": results,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
