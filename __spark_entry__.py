@@ -59,6 +59,8 @@ _DRIVER_WINDOW = [
     # (a) driver-unseen before round 3 — queries_tpch
     "tpch_pricing_summary",
     "tpch_shipping_priority",
+    # round-3 new operator (new code needs driver rows most)
+    "decontamination",
     # (b) decidable-invariant wrappers for the approximate operators
     "dedup_embedding_lsh_check",
     "ann_lsh_check",
@@ -76,7 +78,8 @@ _DRIVER_WINDOW = [
     "security_events",
     "brute_force",
     "suspicious_ips",
-    "unusual_methods",
+    # (unusual_methods yielded its slot to decontamination: its logic is
+    # inside security_events + ip_threat_scores, both still in-window)
     "traffic_hourly",
     "peak_traffic",
     "error_rate_5min",

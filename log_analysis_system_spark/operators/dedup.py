@@ -140,6 +140,61 @@ def ngram_jaccard_pairs(
     )
 
 
+CONTAMINATION_THRESHOLD = 0.5
+
+
+def contamination_pairs(
+    corpus_docs: DataFrame,
+    probe_docs: DataFrame,
+    k: int = 3,
+    threshold: float = CONTAMINATION_THRESHOLD,
+) -> DataFrame:
+    """Benchmark decontamination: for each probe (eval-set) document, the
+    corpus documents containing at least ``threshold`` of the probe's
+    distinct word-k-grams.
+
+    The metric is asymmetric CONTAINMENT ``|P ∩ D| / |P|``, not Jaccard —
+    a long training document that embeds a short benchmark item wholesale
+    has near-zero Jaccard but containment ~1, and it is exactly the case a
+    decontamination pass must catch (the GPT-3/PaLM n-gram-overlap
+    protocol).
+
+    Scale shape: the probe side is a benchmark suite — thousands of
+    documents, not billions — so its exploded shingle set is BROADCAST;
+    the corpus side streams through the scan with no shuffle until the
+    (doc, probe) count aggregate, which is map-side partial-aggregated and
+    carries only matching pairs. Corpus shingles are never materialized as
+    a joined table against anything corpus-sized.
+
+    Output: (probe_id, doc_id, n_shared, containment >= threshold).
+    """
+    c_sh = _shingle_docs(corpus_docs, k).localCheckpoint(eager=False)
+    p_sh = _shingle_docs(probe_docs, k).localCheckpoint(eager=False)
+    p_sizes = p_sh.select(
+        F.col("doc_id").alias("probe_id"), F.size("ts").alias("np")
+    )
+    p_ex = p_sh.select(
+        F.col("doc_id").alias("probe_id"), F.explode("ts").alias("s")
+    )
+    c_ex = c_sh.select("doc_id", F.explode("ts").alias("s"))
+    inter = (
+        c_ex.join(F.broadcast(p_ex), "s")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(p_sizes), "probe_id")
+        .withColumn("containment", F.col("n_shared") / F.col("np"))
+        .where(F.col("containment") >= threshold)
+        .select(
+            "probe_id",
+            "doc_id",
+            "n_shared",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def _band_entries(sh: DataFrame, bands: int, rows: int) -> DataFrame:
     """(doc_id, band, bkey) LSH bucket entries from a shingle frame.
 

@@ -71,6 +71,16 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dd.embedding_cosine_pairs_lsh(_emb(spark, sf_dir))
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark-decontamination shape: every 10th doc plays the eval set
+    (probes), the rest the training corpus; emit corpus docs containing
+    >= 50% of a probe's distinct 3-grams (asymmetric containment)."""
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dd.contamination_pairs(corpus, probes).orderBy("probe_id", "doc_id")
+
+
 def q_dedup_components(spark, sf_dir):
     # presentation sorts live in the registry wrappers (deterministic oracle
     # diffing); library callers get the unsorted frames
@@ -200,6 +210,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "decontamination": q_decontamination,
     "dedup_components": q_dedup_components,
     "dedup_incremental": q_dedup_incremental,
     "ann_topk_cosine": q_ann_topk_cosine,
@@ -323,6 +334,23 @@ ORDER BY canonical_id, dup_id
 """,
     "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
     "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
+    # asymmetric containment |P∩D|/|P| (not Jaccard): the decontamination
+    # metric — a training doc embedding a short benchmark item wholesale
+    "decontamination": f"""
+WITH {_SH_CTE},
+p AS (SELECT doc_id AS probe_id, unnest(ts) AS s FROM sh WHERE doc_id % 10 = 0),
+psz AS (SELECT doc_id AS probe_id, len(ts) AS np FROM sh WHERE doc_id % 10 = 0),
+c AS (SELECT doc_id, unnest(ts) AS s FROM sh WHERE doc_id % 10 <> 0),
+inter AS (
+  SELECT probe_id, doc_id, count(*) AS n_shared
+  FROM c JOIN p USING (s) GROUP BY 1, 2
+)
+SELECT probe_id, doc_id, n_shared,
+       round(n_shared::DOUBLE / np, 6) AS containment
+FROM inter JOIN psz USING (probe_id)
+WHERE n_shared::DOUBLE / np >= {dd.CONTAMINATION_THRESHOLD}
+ORDER BY probe_id, doc_id
+""",
     # exact cross-split Jaccard: the probabilistic candidate stage must
     # reach recall 1.0 on the planted near-dups or the gate fails loudly
     "dedup_incremental": f"""

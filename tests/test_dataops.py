@@ -389,3 +389,41 @@ def test_ivf_sampled_training_recall_and_sample_only(spark):
         "Spark centroids diverge from the sample-only NumPy replay - "
         "training touched rows outside the md5 sample"
     )
+
+
+def test_contamination_containment_not_jaccard(spark):
+    """A long training doc embedding a short benchmark item wholesale has
+    LOW Jaccard but containment 1.0 — the case decontamination must catch
+    (and symmetric near-dup metrics miss)."""
+    probe_text = "alpha beta gamma delta epsilon zeta"
+    long_doc = ("filler" + " filler" * 60) + " " + probe_text + " tail tail"
+    corpus = spark.createDataFrame(
+        [(1, long_doc), (2, "unrelated words entirely different content here")],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame([(100, probe_text)], ["doc_id", "text"])
+    got = {
+        (r["probe_id"], r["doc_id"]): r["containment"]
+        for r in dd.contamination_pairs(corpus, probes).collect()
+    }
+    assert got == {(100, 1): 1.0}
+    # sanity: the same pair is invisible to symmetric Jaccard at 0.8
+    both = corpus.unionByName(probes)
+    jac = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(both).collect()}
+    assert (1, 100) not in jac and (100, 1) not in jac
+
+
+def test_contamination_threshold_boundary(spark):
+    """Containment exactly at the threshold is kept (>=); below is dropped."""
+    # probe has 4 distinct 3-grams (6 tokens); doc shares exactly 2 -> 0.5
+    probes = spark.createDataFrame(
+        [(0, "a b c d e f")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c d x y"), (2, "a b c x y z")], ["doc_id", "text"]
+    )
+    got = {
+        (r["probe_id"], r["doc_id"]): (r["n_shared"], r["containment"])
+        for r in dd.contamination_pairs(corpus, probes, threshold=0.5).collect()
+    }
+    assert got == {(0, 1): (2, 0.5)}
