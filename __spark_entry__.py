@@ -59,8 +59,9 @@ _DRIVER_WINDOW = [
     # (a) driver-unseen before round 3 — queries_tpch
     "tpch_pricing_summary",
     "tpch_shipping_priority",
-    # round-3 new operator (new code needs driver rows most)
+    # round-3 new operators (new code needs driver rows most)
     "decontamination",
+    "knn_label_agreement",
     # (b) decidable-invariant wrappers for the approximate operators
     "dedup_embedding_lsh_check",
     "ann_lsh_check",
@@ -82,7 +83,8 @@ _DRIVER_WINDOW = [
     # inside security_events + ip_threat_scores, both still in-window)
     "traffic_hourly",
     "peak_traffic",
-    "error_rate_5min",
+    # (error_rate_5min yielded its slot to knn_label_agreement; stable-green
+    # in rounds 1-2 and same operator family as traffic_hourly, in-window)
     "daily_summary",
     "rolling_traffic_anomalies",
     "iqr_anomalies",

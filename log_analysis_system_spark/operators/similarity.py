@@ -273,6 +273,67 @@ def ann_lsh_bucketed(
     )
 
 
+def knn_label_agreement(
+    emb: DataFrame, k: int = DEFAULT_K, neighbors: DataFrame | None = None
+) -> DataFrame:
+    """Label-noise detection: each vector's label vs the majority label of
+    its k nearest neighbors (cosine). A curation pipeline flags
+    ``mislabeled`` rows (majority disagrees) for re-annotation or drop —
+    the classic kNN-agreement screen over an embedded dataset.
+
+    ``neighbors`` defaults to the exact :func:`brute_force_topk` with the
+    whole corpus as the query set (test-scale). At 10^12 rows pass an
+    ANN-derived neighbor frame instead (same (query_id, neighbor_id, rank)
+    shape from :func:`ann_ivf` / :func:`ann_lsh_bucketed`) — the agreement
+    logic downstream of the neighbor frame is one label join + one
+    grouped vote, shuffling only (vec, neighbor-label) pairs.
+
+    Majority tie-break: highest vote count, then smallest label (both
+    engines deterministic). Output: (vec_id, label, pred_label, n_agree,
+    mislabeled).
+    """
+    if neighbors is None:
+        neighbors = brute_force_topk(emb, emb, k)
+    lab = emb.select("vec_id", "label")
+    n = neighbors.select("query_id", "neighbor_id").join(
+        lab.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+        ),
+        "neighbor_id",
+    )
+    votes = n.groupBy("query_id", "n_label").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    own = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label")
+    )
+    agree = (
+        n.join(own, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("n_label") == F.col("label")).cast("long")).alias(
+                "n_agree"
+            )
+        )
+    )
+    return (
+        own.join(pred, "query_id")
+        .join(agree, "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "label",
+            "pred_label",
+            "n_agree",
+            (F.col("pred_label") != F.col("label")).alias("mislabeled"),
+        )
+    )
+
+
 IVF_LISTS = 16
 IVF_NPROBE = 4
 IVF_ITERATIONS = 3

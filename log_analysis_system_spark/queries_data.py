@@ -132,6 +132,10 @@ def q_ann_ivf(spark, sf_dir):
     return sim.ann_ivf(emb, emb.where(F.col("vec_id") < N_ANN_QUERIES))
 
 
+def q_knn_label_agreement(spark, sf_dir):
+    return sim.knn_label_agreement(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
 # ------------------------------------------------------------ text analysis
 def q_text_token_stats(spark, sf_dir):
     return ts.token_stats(_docs(spark, sf_dir))
@@ -218,6 +222,7 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "knn_label_agreement": q_knn_label_agreement,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -675,6 +680,46 @@ FROM v JOIN cent USING (label)
 ORDER BY v.vec_id
 """,
 }
+ORACLES["knn_label_agreement"] = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS label,
+         c.vec_id AS neighbor_id, c.label AS n_label,
+         {_COS.format(a="q.e", b="c.e")} AS cosine
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank
+    FROM scored
+  ) WHERE rank <= {sim.DEFAULT_K}
+),
+votes AS (
+  SELECT query_id, n_label, count(*) AS c FROM nn GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, n_label AS pred_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY c DESC, n_label
+    ) AS r FROM votes
+  ) WHERE r = 1
+),
+agree AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM nn GROUP BY query_id
+)
+SELECT nn.query_id AS vec_id, any_value(nn.label) AS label,
+       any_value(pred.pred_label) AS pred_label,
+       any_value(agree.n_agree) AS n_agree,
+       any_value(pred.pred_label <> nn.label) AS mislabeled
+FROM nn JOIN pred USING (query_id) JOIN agree USING (query_id)
+GROUP BY nn.query_id
+ORDER BY vec_id
+"""
 ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]
 # full-probe IVF scores every inverted list -> exact search, row-identical
 # to brute force (verified by test_ann_ivf_fullprobe_equals_brute_force)

@@ -427,3 +427,27 @@ def test_contamination_threshold_boundary(spark):
         for r in dd.contamination_pairs(corpus, probes, threshold=0.5).collect()
     }
     assert got == {(0, 1): (2, 0.5)}
+
+
+def test_knn_label_agreement_flags_planted_mislabel(spark):
+    """Three tight clusters; one point carries the wrong label -> its kNN
+    majority disagrees and only it is flagged."""
+    import numpy as np
+
+    rng = [
+        # cluster A near (1,0,0) labeled 0; one point mislabeled 9
+        (0, [1.0, 0.01, 0.0], 0), (1, [0.99, 0.02, 0.0], 0),
+        (2, [1.0, 0.0, 0.02], 0), (3, [0.98, 0.01, 0.01], 9),
+        # cluster B near (0,1,0) labeled 1
+        (4, [0.0, 1.0, 0.01], 1), (5, [0.01, 0.99, 0.0], 1),
+        (6, [0.0, 1.0, 0.02], 1), (7, [0.02, 0.98, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rng, ["vec_id", "embedding", "label"])
+    got = {r["vec_id"]: r for r in sim.knn_label_agreement(emb, k=3).collect()}
+    assert len(got) == 8
+    assert got[3]["mislabeled"] and got[3]["pred_label"] == 0
+    assert got[3]["n_agree"] == 0
+    for vid in (0, 1, 2, 4, 5, 6, 7):
+        assert not got[vid]["mislabeled"], vid
+    # cluster-A members' neighbors include the mislabeled point -> n_agree 2
+    assert got[0]["n_agree"] == 2 and got[4]["n_agree"] == 3

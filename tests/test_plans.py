@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "overall_error_rate",
     "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
     "vocab_top_terms",        # 1-row total-token frame broadcast into shares
+    "knn_label_agreement",    # exact neighbor source at test scale (broadcast
+                              # query set x corpus); ANN neighbor frame at scale
     # invariant-check wrappers: 1-row verdict aggregates joined conditionless
     # (plus the BNLJ shapes inherited from the operators they gate)
     "dedup_embedding_lsh_check",
