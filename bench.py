@@ -50,6 +50,9 @@ DATA_HEADLINE = [
     "sequence_pack",
     "session_stats",
     "tpch_shipping_priority",
+    # round-3 addition (totals stay non-comparable across rounds; per-query
+    # times are the cross-round signal)
+    "decontamination",
 ]
 
 
