@@ -75,6 +75,11 @@ def load_input(spark, path: str):
     # (helpers.py:95-119 glob + main.py:113-145 per-line read)
     if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.log")):
         return read_log_dir(spark, path)
+    # single raw log file (reference dashboard.py --logfile)
+    if os.path.isfile(path) and not path.endswith(".parquet"):
+        return read_log_dir(
+            spark, os.path.dirname(path) or ".", os.path.basename(path)
+        )
     df = spark.read.parquet(path)
     missing = {"conv_id", "turn_idx", "text"} - set(df.columns)
     if missing:

@@ -90,3 +90,19 @@ def test_log_dir_pipeline_sink_counts_match_parquet_path(
         v for k, v in res_b.sink_counts.items()
         if k in ("parsed_turns", "error_turns", "rejects")
     ) == src.count()
+
+
+def test_cli_load_input_single_log_file(spark, log_dir_and_source):
+    """Reference dashboard.py --logfile parity: a single raw log file is a
+    valid --input (one conversation = that file)."""
+    import glob as globmod
+
+    from log_analysis_system_spark.__main__ import load_input
+
+    d, _ = log_dir_and_source
+    one = sorted(globmod.glob(f"{d}/*.log"))[0]
+    df = load_input(spark, one)
+    rows = df.select("conv_id").distinct().collect()
+    assert len(rows) == 1
+    assert rows[0]["conv_id"] + ".log" == one.rsplit("/", 1)[-1]
+    assert df.count() > 0
