@@ -1,0 +1,52 @@
+"""One probe-gated scaling trial: probe the host; if the window is clean,
+run a single scaling_worker trial at the requested core count and append a
+JSON line (probe + trial) to the log file. If contended, log the probe and
+exit 3 without burning a trial.
+
+Usage: python tools/scaling_trial_once.py <cores> <input_dir> <log_file>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from hostprobe import probe  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    cores, inp, log = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    h = probe()
+    rec = {"cores": cores, "probe": h}
+    if not h["clean"]:
+        rec["skipped"] = True
+        with open(log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec))
+        return 3
+    out = tempfile.mkdtemp(prefix=f"scaling_out{cores}_", dir="/dev/shm")
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+             str(cores), inp, out],
+            capture_output=True, text=True, check=True,
+        )
+        rec["trial"] = json.loads(res.stdout.strip().splitlines()[-1])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rec["probe_after"] = probe()
+    with open(log, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
