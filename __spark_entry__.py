@@ -111,7 +111,13 @@ def _merged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _reorder(d: dict) -> dict:
-    front = {n: d[n] for n in _DRIVER_WINDOW if n in d}
+    # hard-fail on a missing window entry: a silent ImportError in a query
+    # module would otherwise SHIFT the driver's first-50 window and change
+    # which queries get correctness rows
+    missing = [n for n in _DRIVER_WINDOW if n not in d]
+    if missing:
+        raise RuntimeError(f"driver-window queries missing from registry: {missing}")
+    front = {n: d[n] for n in _DRIVER_WINDOW}
     rest = {n: v for n, v in d.items() if n not in front}
     return {**front, **rest}
 
