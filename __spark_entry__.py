@@ -62,6 +62,7 @@ _DRIVER_WINDOW = [
     # round-3 new operators (new code needs driver rows most)
     "decontamination",
     "knn_label_agreement",
+    "lm_unigram_score",
     # (b) decidable-invariant wrappers for the approximate operators
     "dedup_embedding_lsh_check",
     "ann_lsh_check",
@@ -82,9 +83,9 @@ _DRIVER_WINDOW = [
     # (unusual_methods yielded its slot to decontamination: its logic is
     # inside security_events + ip_threat_scores, both still in-window)
     "traffic_hourly",
-    "peak_traffic",
-    # (error_rate_5min yielded its slot to knn_label_agreement; stable-green
-    # in rounds 1-2 and same operator family as traffic_hourly, in-window)
+    # (peak_traffic yielded its slot to lm_unigram_score; error_rate_5min to
+    # knn_label_agreement — both stable-green in rounds 1-2 and of the same
+    # windowed-traffic operator family as traffic_hourly, in-window)
     "daily_summary",
     "rolling_traffic_anomalies",
     "iqr_anomalies",

@@ -259,3 +259,37 @@ def fingerprints(docs: DataFrame, k: int = 3, n: int = 4) -> DataFrame:
         F.get("hs", i).alias(f"fp{i}") for i in range(n)  # null when < n shingles
     ]
     return hashed.select("doc_id", *cols).orderBy("doc_id")
+
+
+def lm_unigram_scores(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM quality signal: each document's mean negative log
+    probability under the corpus's own unigram model (perplexity =
+    exp(mean_neg_logp); left to the caller — exp stacks ULP noise onto a
+    cross-engine-compared value for no extra information).
+
+    High scores = documents dominated by corpus-rare tokens (garbled text,
+    spam, wrong-language fragments); low scores = boilerplate. The
+    production pattern trains the model on a reference corpus and scores a
+    candidate corpus; here the corpus scores itself (every token has
+    count >= 1, so no smoothing term is needed).
+
+    Scale shape: the model IS a token-frequency aggregate — map-side
+    partial-agged, vocab-sized. The score join shuffles on the token key
+    (vocab-sized build side); at 10^12 tokens broadcast the top-V head and
+    fold the long tail into a smoothing constant instead. Cross-engine
+    determinism: per-token -ln(p) summed in DECIMAL (partition-order-free),
+    divided and rounded as DOUBLE — the oracle-pitfall rules.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    nlp = -F.log(F.col("c") / F.col("n_total"))
+    scored = tok.join(freq, "t").join(F.broadcast(total)).select(
+        "doc_id", nlp.cast("decimal(28,10)").alias("nlp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum("nlp").cast("double") / F.count("*"), 6
+        ).alias("mean_neg_logp"),
+    )

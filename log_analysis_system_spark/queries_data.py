@@ -169,6 +169,10 @@ def q_vocab_top_terms(spark, sf_dir):
     return ts.vocab_top_terms(_docs(spark, sf_dir))
 
 
+def q_lm_unigram_score(spark, sf_dir):
+    return ts.lm_unigram_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_text_repetition(spark, sf_dir):
     return dp.repetition_stats(_docs(spark, sf_dir))
 
@@ -231,6 +235,7 @@ QUERIES = {
     "source_mixture": q_source_mixture,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
+    "lm_unigram_score": q_lm_unigram_score,
     "text_repetition": q_text_repetition,
     "sequence_pack": q_sequence_pack,
     "embedding_centroids": q_embedding_centroids,
@@ -575,6 +580,21 @@ SELECT CAST(r.rank AS INT) AS rank, r.term, r.n_occurrences, r.doc_freq,
 FROM ranked r CROSS JOIN total t
 WHERE r.rank <= {ts.VOCAB_TOP_K}
 ORDER BY r.rank
+""",
+    # per-token -ln(p) summed in DECIMAL (order-free), divided/rounded as
+    # DOUBLE — the oracle-pitfall float-aggregate rule
+    "lm_unigram_score": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq),
+scored AS (
+  SELECT doc_id,
+         CAST(-ln(c::DOUBLE / n_total) AS DECIMAL(28,10)) AS nlp
+  FROM tok JOIN freq USING (t) CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS mean_neg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
     "text_repetition": f"""
 WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),

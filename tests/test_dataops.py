@@ -451,3 +451,23 @@ def test_knn_label_agreement_flags_planted_mislabel(spark):
         assert not got[vid]["mislabeled"], vid
     # cluster-A members' neighbors include the mislabeled point -> n_agree 2
     assert got[0]["n_agree"] == 2 and got[4]["n_agree"] == 3
+
+
+def test_lm_unigram_score_hand_computed(spark):
+    """Tiny corpus with hand-computable unigram probabilities."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a rare")],
+        ["doc_id", "text"],
+    )
+    # counts: a=3, b=1, rare=1; total=5
+    got = {r["doc_id"]: r for r in ts.lm_unigram_scores(docs).collect()}
+    pa, pb, pr = 3 / 5, 1 / 5, 1 / 5
+    exp0 = round((-math.log(pa) * 2 - math.log(pb)) / 3, 6)
+    exp1 = round((-math.log(pa) - math.log(pr)) / 2, 6)
+    assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 2
+    assert got[0]["mean_neg_logp"] == pytest.approx(exp0, abs=2e-6)
+    assert got[1]["mean_neg_logp"] == pytest.approx(exp1, abs=2e-6)
+    # the rare-token doc scores strictly higher (the filter signal)
+    assert got[1]["mean_neg_logp"] > got[0]["mean_neg_logp"]

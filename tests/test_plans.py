@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "overall_error_rate",
     "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
     "vocab_top_terms",        # 1-row total-token frame broadcast into shares
+    "lm_unigram_score",       # 1-row total-token frame broadcast into -ln(p)
     "knn_label_agreement",    # exact neighbor source at test scale (broadcast
                               # query set x corpus); ANN neighbor frame at scale
     # invariant-check wrappers: 1-row verdict aggregates joined conditionless
