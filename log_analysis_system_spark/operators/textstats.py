@@ -293,3 +293,36 @@ def lm_unigram_scores(docs: DataFrame) -> DataFrame:
             F.sum("nlp").cast("double") / F.count("*"), 6
         ).alias("mean_neg_logp"),
     )
+
+
+OOV_VOCAB_SIZE = 20
+
+
+def oov_rates(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's top-V
+    vocabulary (by occurrence count, ties on the term string) — the
+    tokenizer-design companion to :func:`vocab_top_terms`: how much of each
+    document a V-entry vocab fails to cover, and the screen for documents
+    dominated by tail tokens.
+
+    Shapes: the vocab head is a rank window over the (vocab-sized) term
+    frequency aggregate, then BROADCAST back into the token stream as a
+    left-semi membership probe — the corpus-side scan never shuffles; the
+    per-doc rollup partial-aggregates on doc_id.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    head = (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= vocab_size)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(head), "t", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        F.round(
+            F.sum(F.col("in_vocab").isNull().cast("long")) / F.count("*"), 6
+        ).alias("oov_rate"),
+    )

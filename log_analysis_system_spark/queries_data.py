@@ -173,6 +173,10 @@ def q_lm_unigram_score(spark, sf_dir):
     return ts.lm_unigram_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_oov_rates(spark, sf_dir):
+    return ts.oov_rates(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_text_repetition(spark, sf_dir):
     return dp.repetition_stats(_docs(spark, sf_dir))
 
@@ -236,6 +240,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_terms": q_vocab_top_terms,
     "lm_unigram_score": q_lm_unigram_score,
+    "oov_rates": q_oov_rates,
     "text_repetition": q_text_repetition,
     "sequence_pack": q_sequence_pack,
     "embedding_centroids": q_embedding_centroids,
@@ -595,6 +600,21 @@ scored AS (
 SELECT doc_id, count(*) AS n_tokens,
        round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS mean_neg_logp
 FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    "oov_rates": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+head AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY c DESC, t) AS r FROM freq
+  ) WHERE r <= {ts.OOV_VOCAB_SIZE}
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN head.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN head.t IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN head USING (t)
+GROUP BY doc_id ORDER BY doc_id
 """,
     "text_repetition": f"""
 WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),

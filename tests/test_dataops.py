@@ -471,3 +471,16 @@ def test_lm_unigram_score_hand_computed(spark):
     assert got[1]["mean_neg_logp"] == pytest.approx(exp1, abs=2e-6)
     # the rare-token doc scores strictly higher (the filter signal)
     assert got[1]["mean_neg_logp"] > got[0]["mean_neg_logp"]
+
+
+def test_oov_rates_hand_computed(spark):
+    """vocab_size=2 on a 3-token vocab: the tail token is OOV."""
+    docs = spark.createDataFrame(
+        [(0, "a a b tail"), (1, "a b"), (2, "tail tail")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in ts.oov_rates(docs, vocab_size=2).collect()}
+    # counts: a=3, b=2, tail=3 -> head by (count desc, term asc) = {a, tail}
+    assert (got[0]["n_oov"], got[0]["oov_rate"]) == (1, 0.25)
+    assert (got[1]["n_oov"], got[1]["oov_rate"]) == (1, 0.5)
+    assert (got[2]["n_oov"], got[2]["oov_rate"]) == (0, 0.0)
