@@ -484,3 +484,33 @@ def test_oov_rates_hand_computed(spark):
     assert (got[0]["n_oov"], got[0]["oov_rate"]) == (1, 0.25)
     assert (got[1]["n_oov"], got[1]["oov_rate"]) == (1, 0.5)
     assert (got[2]["n_oov"], got[2]["oov_rate"]) == (0, 0.0)
+
+
+def test_new_ops_invariants_on_testdata(spark):
+    """Range/coverage invariants of the round-3 operators on real testdata:
+    every doc gets a row; rates live in their domains; a vocab covering the
+    whole corpus drives OOV to zero everywhere."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+
+    oov = ts.oov_rates(docs).collect()
+    assert len(oov) == n_docs
+    assert all(0.0 <= r["oov_rate"] <= 1.0 for r in oov)
+    full = ts.oov_rates(docs, vocab_size=10**6).collect()
+    assert all(r["n_oov"] == 0 and r["oov_rate"] == 0.0 for r in full)
+
+    lm = ts.lm_unigram_scores(docs).collect()
+    assert len(lm) == n_docs
+    # -ln p > 0 strictly unless a token IS the whole corpus
+    assert all(r["mean_neg_logp"] > 0 for r in lm)
+
+    probes = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    cont = dd.contamination_pairs(corpus, probes).collect()
+    assert all(
+        dd.CONTAMINATION_THRESHOLD <= r["containment"] <= 1.0 for r in cont
+    )
+    probe_ids = {r["doc_id"] for r in probes.select("doc_id").collect()}
+    corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert all(r["probe_id"] in probe_ids and r["doc_id"] in corpus_ids
+               for r in cont)
