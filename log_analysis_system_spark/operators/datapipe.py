@@ -95,7 +95,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     top = counts.groupBy("doc_id").agg(
         F.round(F.max("c") / F.sum("c"), 6).alias("top_token_share")
     )
-    return bstats.join(top, "doc_id").orderBy("doc_id")
+    return bstats.join(top, "doc_id")
 
 
 def sequence_pack(
@@ -214,7 +214,6 @@ def stratified_sample(
     return (
         docs.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("keep_pct"))
         .where(F.col("bucket") < F.col("keep_pct"))
-        .orderBy("doc_id")
     )
 
 
@@ -264,7 +263,7 @@ def embedding_centroid_distance(emb: DataFrame) -> DataFrame:
         F.round(dot / (norm(F.col("v")) * norm(F.col("ce"))), 6).alias(
             "cos_centroid"
         ),
-    ).orderBy("vec_id")
+    )
 
 
 def corpus_filter(docs: DataFrame) -> DataFrame:

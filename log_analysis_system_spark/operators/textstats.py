@@ -40,7 +40,35 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
         F.round(F.size(F.array_distinct(t)) / F.size(t), 6).alias("distinct_ratio"),
         F.length("text").alias("n_chars"),
-    ).orderBy("doc_id")
+    )
+
+
+def quality_exprs(t) -> dict[str, "F.Column"]:
+    """The quality-scoring expression family over a token-array expression
+    ``t`` — shared by :func:`quality_scores` and the corpus pipeline's
+    one-scan score projection (corpus_pipeline.py), so the rule formulas
+    exist exactly once."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(t, stop_arr))  # distinct-stopword hits
+    n_stop_tokens = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    mean_tok = (F.length("text") - (F.size(t) - 1)) / F.size(t)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
+    return {
+        "n_tokens": F.size(t),
+        "stopword_ratio": F.round(n_stop_tokens / F.size(t), 6),
+        "mean_token_len": F.round(mean_tok, 6),
+        "alpha_ratio": F.round(alpha, 6),
+        "n_distinct_stopwords": n_stop,
+    }
+
+
+def quality_keep_expr() -> "F.Column":
+    """The keep rule over the (already selected, rounded) quality columns."""
+    return (
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("mean_token_len") <= QUALITY_MAX_MEAN_TOKEN_LEN)
+        & (F.col("n_distinct_stopwords") >= 1)
+    )
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
@@ -50,37 +78,19 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     - mean_token_len;
     - alpha_ratio: alphabetic chars / all chars;
     - keep flag: enough tokens, sane mean token length, some stopwords.
+
+    Output UNSORTED (registry wrapper adds the presentation orderBy).
     """
-    t = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.array_intersect(t, stop_arr))  # distinct-stopword hits
-    n_stop_tokens = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
-    mean_tok = (F.length("text") - (F.size(t) - 1)) / F.size(t)
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
-    return (
-        docs.select(
-            "doc_id",
-            F.size(t).alias("n_tokens"),
-            F.round(n_stop_tokens / F.size(t), 6).alias("stopword_ratio"),
-            F.round(mean_tok, 6).alias("mean_token_len"),
-            F.round(alpha, 6).alias("alpha_ratio"),
-            n_stop.alias("n_distinct_stopwords"),
-        )
-        .withColumn(
-            "keep",
-            (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
-            & (F.col("mean_token_len") <= QUALITY_MAX_MEAN_TOKEN_LEN)
-            & (F.col("n_distinct_stopwords") >= 1),
-        )
-        .orderBy("doc_id")
-    )
+    q = quality_exprs(tokens(F.col("text")))
+    return docs.select(
+        "doc_id", *(expr.alias(name) for name, expr in q.items())
+    ).withColumn("keep", quality_keep_expr())
 
 
-def language_id(docs: DataFrame) -> DataFrame:
-    """Stopword-profile language ID: per-language score = fraction of
-    tokens in that language's signature set; argmax with deterministic
-    alphabetical tie-break (matches the oracle's CASE cascade)."""
-    t = tokens(F.col("text"))
+def language_exprs(t) -> dict[str, "F.Column"]:
+    """Per-language raw score expressions over a token-array expression —
+    shared by :func:`language_id` and the corpus pipeline's one-scan score
+    projection."""
 
     def _in_set(ws):
         arr = F.array(*[F.lit(w) for w in ws])
@@ -88,13 +98,16 @@ def language_id(docs: DataFrame) -> DataFrame:
         # would bind a lambda-variable Column to any extra parameter
         return lambda x: F.array_contains(arr, x)
 
-    scored = docs.select(
-        "doc_id",
-        *[
-            (F.size(F.filter(t, _in_set(ws))) / F.size(t)).alias(f"s_{lang}")
-            for lang, ws in sorted(LANG_PROFILES.items())
-        ],
-    )
+    return {
+        f"s_{lang}": F.size(F.filter(t, _in_set(ws))) / F.size(t)
+        for lang, ws in sorted(LANG_PROFILES.items())
+    }
+
+
+def language_pred_expr() -> "F.Column":
+    """Argmax with deterministic alphabetical tie-break over the (already
+    selected) per-language score columns (matches the oracle's CASE
+    cascade)."""
     langs = sorted(LANG_PROFILES)
     pred = F.when(F.lit(False), F.lit(None).cast("string"))
     for lang in langs:
@@ -103,11 +116,23 @@ def language_id(docs: DataFrame) -> DataFrame:
             if other != lang:
                 cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
         pred = pred.when(cond, F.lit(lang))
+    return pred
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: per-language score = fraction of
+    tokens in that language's signature set; argmax with deterministic
+    alphabetical tie-break. Output UNSORTED (wrapper sorts)."""
+    scores = language_exprs(tokens(F.col("text")))
+    langs = sorted(LANG_PROFILES)
+    scored = docs.select(
+        "doc_id", *(expr.alias(name) for name, expr in scores.items())
+    )
     return scored.select(
         "doc_id",
-        pred.alias("pred_lang"),
+        language_pred_expr().alias("pred_lang"),
         *[F.round(F.col(f"s_{lang}"), 6).alias(f"s_{lang}") for lang in langs],
-    ).orderBy("doc_id")
+    )
 
 
 SPLIT_TRAIN_PCT = 90
@@ -132,7 +157,7 @@ def dataset_split(docs: DataFrame) -> DataFrame:
         .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
-    ).orderBy("doc_id")
+    )
 
 
 def source_mixture(docs: DataFrame) -> DataFrame:
@@ -193,7 +218,6 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .orderBy("doc_id", "rank")
     )
 
 
@@ -258,7 +282,7 @@ def fingerprints(docs: DataFrame, k: int = 3, n: int = 4) -> DataFrame:
     cols = [
         F.get("hs", i).alias(f"fp{i}") for i in range(n)  # null when < n shingles
     ]
-    return hashed.select("doc_id", *cols).orderBy("doc_id")
+    return hashed.select("doc_id", *cols)
 
 
 def lm_unigram_scores(docs: DataFrame) -> DataFrame:

@@ -138,23 +138,23 @@ def q_knn_label_agreement(spark, sf_dir):
 
 # ------------------------------------------------------------ text analysis
 def q_text_token_stats(spark, sf_dir):
-    return ts.token_stats(_docs(spark, sf_dir))
+    return ts.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_text_quality(spark, sf_dir):
-    return ts.quality_scores(_docs(spark, sf_dir))
+    return ts.quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_text_language_id(spark, sf_dir):
-    return ts.language_id(_docs(spark, sf_dir))
+    return ts.language_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_text_fingerprints(spark, sf_dir):
-    return ts.fingerprints(_docs(spark, sf_dir))
+    return ts.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_dataset_split(spark, sf_dir):
-    return ts.dataset_split(_docs(spark, sf_dir))
+    return ts.dataset_split(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_source_mixture(spark, sf_dir):
@@ -162,7 +162,7 @@ def q_source_mixture(spark, sf_dir):
 
 
 def q_tfidf_top_terms(spark, sf_dir):
-    return ts.tfidf_top_terms(_docs(spark, sf_dir))
+    return ts.tfidf_top_terms(_docs(spark, sf_dir)).orderBy("doc_id", "rank")
 
 
 def q_vocab_top_terms(spark, sf_dir):
@@ -178,7 +178,7 @@ def q_oov_rates(spark, sf_dir):
 
 
 def q_text_repetition(spark, sf_dir):
-    return dp.repetition_stats(_docs(spark, sf_dir))
+    return dp.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_sequence_pack(spark, sf_dir):
@@ -194,11 +194,11 @@ def q_corpus_filter(spark, sf_dir):
 
 
 def q_stratified_sample(spark, sf_dir):
-    return dp.stratified_sample(_docs(spark, sf_dir))
+    return dp.stratified_sample(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_embedding_centroid_distance(spark, sf_dir):
-    return dp.embedding_centroid_distance(_emb(spark, sf_dir))
+    return dp.embedding_centroid_distance(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
 # --------------------------------------------------------------- multimodal
