@@ -48,6 +48,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--report", action="store_true",
                    help="render the console report from the sinks under "
                    "--output and exit (reference dashboard.py display)")
+    p.add_argument("--corpus", action="store_true",
+                   help="run the corpus-curation pipeline (score -> dedup "
+                   "-> finalize) over a documents table instead of the log "
+                   "pipeline; --input is a documents parquet or a scale dir "
+                   "containing documents.parquet")
     p.add_argument("--config", default=None, help="config.yaml (reference schema)")
     p.add_argument("--patterns", default=None, help="patterns.yaml (reference schema)")
     p.add_argument("--suspicious-ips", default=None, help="suspicious_ips.txt")
@@ -119,6 +124,33 @@ def main(argv: list[str] | None = None) -> int:
             from .report import render_report
 
             print(render_report(spark, args.output))
+            return 0
+        if args.corpus:
+            from .corpus_pipeline import run_corpus_pipeline
+
+            docs_path = args.input
+            if os.path.isdir(docs_path) and os.path.exists(
+                os.path.join(docs_path, "documents.parquet")
+            ):
+                docs_path = os.path.join(docs_path, "documents.parquet")
+            docs = spark.read.parquet(docs_path)
+            missing = {"doc_id", "text"} - set(docs.columns)
+            if missing:
+                raise SystemExit(
+                    f"--corpus input is missing columns: {sorted(missing)}"
+                )
+            cres = run_corpus_pipeline(
+                spark, docs, args.output,
+                run_id=args.run_id or uuid.uuid4().hex[:12],
+                n_buckets=args.buckets, resume=not args.no_resume,
+            )
+            print(json.dumps({
+                "run_id": cres.run_id,
+                "stages_ran": cres.stages_ran,
+                "buckets_processed": len(cres.buckets_processed),
+                "buckets_skipped": len(cres.buckets_skipped),
+                "sink_counts": cres.sink_counts,
+            }))
             return 0
         transcripts = None if args.analyze_only else load_input(spark, args.input)
         result = run_pipeline(

@@ -1,0 +1,213 @@
+"""End-to-end corpus-curation pipeline: score -> dedup -> finalize.
+
+The training-data counterpart of ``pipeline.py``'s log pipeline, built on
+the SAME bucket / lineage / resume machinery (``state.py``, hash buckets,
+dynamic-partition-overwrite sinks) so one architecture serves both
+workloads. Three stages with log-pipeline-matching recovery granularity:
+
+- **score** (per-bucket, resumable bucket-by-bucket): every ROW-LOCAL
+  signal in ONE scan — token stats, quality rules + keep flag, language
+  ID, deterministic train/val/test split (the shared expression families
+  from ``operators/textstats.py``, so formulas exist once). Sink:
+  ``doc_scores`` (bucket-partitioned, idempotent per-bucket overwrite).
+- **dedup** (global, all-or-nothing — near-dup discovery is global by
+  definition: per-bucket components would miss cross-bucket duplicates):
+  MinHash/LSH + verify + label-propagation components. Sink:
+  ``doc_components``.
+- **finalize** (global): join scores x components into the composed
+  keep/drop decision (quality AND canonical — ``operators/datapipe.
+  corpus_filter`` semantics) + per (source, lang, split) mixture stats of
+  the kept corpus. Sinks: ``corpus_decisions`` (every doc, with
+  kept/reason), ``corpus_mixture``.
+
+Conservation invariant (tested): every input doc appears in
+``corpus_decisions`` exactly once; kept + rejected == n_docs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import state as st
+from .functions.texthash import md5_hash60, tokens
+from .operators import dedup as dd
+from .operators.textstats import (
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+    language_exprs,
+    language_pred_expr,
+    quality_exprs,
+    quality_keep_expr,
+)
+from .sources import catalog
+
+
+@dataclass
+class CorpusResult:
+    run_id: str
+    buckets_processed: list[int]
+    buckets_skipped: list[int]
+    stages_ran: list[str] = field(default_factory=list)
+    sink_counts: dict[str, int] = field(default_factory=dict)
+
+
+def _bucket(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def score_projection(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """All row-local curation signals in ONE scan: the token array is
+    materialized once per row and every signal family reads it (quality,
+    language, split). No shuffle at all — the bucket column is a pure
+    projection; the sink write repartitions by it."""
+    langs = [c for c in language_exprs(F.col("t"))]
+    base = docs.select(
+        "doc_id", "lang", "source", "text", tokens(F.col("text")).alias("t")
+    )
+    q = quality_exprs(F.col("t"))
+    l_ = language_exprs(F.col("t"))
+    split_bucket = md5_hash60(F.col("doc_id").cast("string")) % 100
+    scored = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        _bucket(n_buckets).alias("bucket"),
+        *(expr.alias(name) for name, expr in q.items()),
+        F.length("text").alias("n_chars"),
+        *(expr.alias(name) for name, expr in l_.items()),
+        F.when(split_bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(split_bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "bucket",
+        "n_tokens",
+        "stopword_ratio",
+        "mean_token_len",
+        "alpha_ratio",
+        "n_distinct_stopwords",
+        "n_chars",
+        quality_keep_expr().alias("quality_keep"),
+        language_pred_expr().alias("pred_lang"),
+        "split",
+        *(F.round(F.col(c), 6).alias(c) for c in langs),
+    )
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    run_id: str,
+    n_buckets: int = 16,
+    resume: bool = True,
+    fail_after_score: bool = False,
+) -> CorpusResult:
+    """``fail_after_score`` simulates a mid-run crash for resume tests."""
+    done = (
+        st.completed_buckets(spark, output_dir, run_id, "corpus_score")
+        if resume
+        else set()
+    )
+    all_buckets = set(range(n_buckets))
+    pending = sorted(all_buckets - done)
+    result = CorpusResult(run_id, pending, sorted(done))
+
+    if pending:
+        with st.StageTimer() as t:
+            scored = score_projection(docs, n_buckets)
+            if done:
+                scored = scored.where(F.col("bucket").isin(pending))
+            # one shuffle into bucket layout (<=1 file per bucket), same as
+            # the log pipeline's route stage
+            scored = scored.repartition(n_buckets, "bucket")
+            catalog.write_table(
+                scored, output_dir, "doc_scores",
+                partition_cols=["bucket"], mode="overwrite_partitions",
+            )
+            counts = st.bucket_counts(
+                catalog.read_table(spark, output_dir, "doc_scores").where(
+                    F.col("bucket").isin(pending)
+                )
+            )
+            result.sink_counts["doc_scores"] = sum(counts.values())
+        st.append_state(
+            spark, output_dir,
+            st.state_rows_from_counts(
+                run_id, "corpus_score", counts, t.wall_ms, set(pending)
+            ),
+        )
+        result.stages_ran.append("score")
+
+    if fail_after_score:
+        return result
+
+    if not (resume and -1 in st.completed_buckets(
+        spark, output_dir, run_id, "corpus_dedup"
+    )):
+        with st.StageTimer() as t:
+            comp = dd.dedup_components(docs)
+            comp = comp.withColumn("bucket", _bucket(n_buckets))
+            catalog.write_table(
+                comp, output_dir, "doc_components",
+                partition_cols=["bucket"], mode="overwrite_partitions",
+            )
+            n_comp = catalog.read_table(spark, output_dir, "doc_components").count()
+            result.sink_counts["doc_components"] = n_comp
+        st.append_state(
+            spark, output_dir,
+            [(run_id, "corpus_dedup", -1, n_comp, "done", t.wall_ms)],
+        )
+        result.stages_ran.append("dedup")
+
+    with st.StageTimer() as t:
+        scores = catalog.read_table(spark, output_dir, "doc_scores")
+        comp = catalog.read_table(spark, output_dir, "doc_components").select(
+            "doc_id", "canonical_id"
+        )
+        is_canonical = F.col("canonical_id") == F.col("doc_id")
+        decisions = (
+            scores.join(comp, "doc_id")
+            .select(
+                "doc_id", "lang", "source", "split", "bucket",
+                "n_tokens", "pred_lang", "canonical_id",
+                (F.col("quality_keep") & is_canonical).alias("kept"),
+                F.when(~F.col("quality_keep"), F.lit("low_quality"))
+                .when(~is_canonical, F.lit("duplicate"))
+                .alias("reason"),
+            )
+        )
+        catalog.write_table(
+            decisions, output_dir, "corpus_decisions",
+            partition_cols=["bucket"], mode="overwrite_partitions",
+        )
+        dec = catalog.read_table(spark, output_dir, "corpus_decisions")
+        result.sink_counts["corpus_decisions"] = dec.count()
+        mixture = (
+            dec.where(F.col("kept"))
+            .groupBy("source", "lang", "split")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+        )
+        catalog.write_table(mixture, output_dir, "corpus_mixture", mode="overwrite")
+        result.sink_counts["corpus_mixture"] = catalog.read_table(
+            spark, output_dir, "corpus_mixture"
+        ).count()
+    st.append_state(
+        spark, output_dir,
+        [(run_id, "corpus_finalize", -1,
+          result.sink_counts["corpus_decisions"], "done", t.wall_ms)],
+    )
+    result.stages_ran.append("finalize")
+    return result
