@@ -59,6 +59,7 @@ _DRIVER_WINDOW = [
     # (a) driver-unseen before round 3 — queries_tpch
     "tpch_pricing_summary",
     "tpch_shipping_priority",
+    "tpch_local_supplier_volume",
     # round-3 new operators (new code needs driver rows most)
     "decontamination",
     "knn_label_agreement",
@@ -78,7 +79,8 @@ _DRIVER_WINDOW = [
     "endpoint_stats_timeframe",
     "ip_threat_scores",
     "security_events",
-    "brute_force",
+    # (brute_force yielded its slot to tpch_local_supplier_volume; its
+    # events flow into the in-window ip_threat_scores + security_events)
     "suspicious_ips",
     # (unusual_methods yielded its slot to decontamination: its logic is
     # inside security_events + ip_threat_scores, both still in-window)

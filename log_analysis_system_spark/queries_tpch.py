@@ -159,3 +159,94 @@ FROM ranked WHERE rank <= {Q3_TOP_N}
 ORDER BY rank
 """,
 }
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_FROM = "1996-01-01"
+Q5_DATE_TO = "1997-01-01"
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = Q5_REGION,
+) -> DataFrame:
+    """Q5 shape: 6-table join — the join-breadth/ordering check. Revenue
+    per nation where the customer's and the line's supplier's nation agree,
+    region-filtered, one order-date year.
+
+    Join strategy at scale: region->nation is a 2-step tiny-dim reduction
+    (broadcast), the reduced nation key list broadcasts into customer and
+    supplier, orders<->lineitem is the one real shuffle join (orderkey),
+    and the supplier match adds the s_nationkey == c_nationkey residual on
+    a broadcast supplier side. Revenue follows the Q1/Q3 decimal
+    discipline (double product per row, decimal order-free sum).
+    """
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_FROM))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_TO))
+    ).select("o_orderkey", "o_custkey")
+    items = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).cast(_DEC).alias("rev"),
+    )
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    joined = (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (items.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum("rev").cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_tpch_local_supplier_volume(spark, sf_dir):
+    return local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+QUERIES["tpch_local_supplier_volume"] = q_tpch_local_supplier_volume
+
+ORACLES["tpch_local_supplier_volume"] = f"""
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_TO} 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
