@@ -269,3 +269,67 @@ def streaming_traffic_counts(
             "n_turns",
         )
     )
+
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source document stream (parquet drops into ``path``) — the
+    ingest feed for streaming corpus curation."""
+    return (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming near-dup screening: every arriving micro-batch of
+    documents is MinHash/LSH-probed against the pre-materialized corpus
+    (``operators.dedup.minhash_lsh_incremental`` — band join against the
+    corpus band table, exact-Jaccard verify), and verified matches append
+    to the ``near_dup_matches`` sink.
+
+    This is the daily-ingest D23 shape promoted to a stream: per-batch
+    cost tracks the BATCH size (the corpus side is static and would be a
+    pre-materialized bucketed band/shingle table at 10^12 docs — here it
+    is recomputed per batch at test scale). foreachBatch reuses the batch
+    operator verbatim, so streaming and batch emit identical matches
+    (asserted in tests/test_streaming_dedup.py). Returns the started
+    StreamingQuery.
+    """
+    from ..operators import dedup as dd
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        matches = dd.minhash_lsh_incremental(batch_df, corpus_docs)
+        catalog.write_table(
+            matches.withColumn("batch_id", F.lit(batch_id)),
+            output_dir,
+            "near_dup_matches",
+            mode="append",
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

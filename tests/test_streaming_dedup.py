@@ -1,0 +1,63 @@
+"""Streaming incremental near-dup screening: batch-vs-stream equivalence
+and resume semantics of the foreachBatch LSH probe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.operators import dedup as dd
+from log_analysis_system_spark.sources import catalog
+from log_analysis_system_spark.streaming import stream_pipeline as sp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus.persist(); corpus.count()
+    feed = tmp_path_factory.mktemp("doc_feed")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    new.repartition(4).write.mode("overwrite").parquet(str(feed))
+    yield str(feed), corpus, new
+    corpus.unpersist()
+
+
+def test_stream_matches_equal_batch_operator(spark, split_docs, tmp_path):
+    feed, corpus, new = split_docs
+    out = str(tmp_path / "out")
+    q = sp.streaming_incremental_dedup(
+        sp.read_document_stream(spark, feed, max_files_per_trigger=2),
+        corpus,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in catalog.read_table(spark, out, "near_dup_matches").collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dd.minhash_lsh_incremental(new, corpus).collect()
+    }
+    assert got == want and want, "stream and batch must emit identical matches"
+
+
+def test_stream_restart_processes_nothing_new(spark, split_docs, tmp_path):
+    feed, corpus, _ = split_docs
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sp.streaming_incremental_dedup(
+        sp.read_document_stream(spark, feed), corpus, out, ckpt
+    ).awaitTermination()
+    n1 = catalog.read_table(spark, out, "near_dup_matches").count()
+    # restart on the same checkpoint: the backlog is already consumed
+    sp.streaming_incremental_dedup(
+        sp.read_document_stream(spark, feed), corpus, out, ckpt
+    ).awaitTermination()
+    n2 = catalog.read_table(spark, out, "near_dup_matches").count()
+    assert n1 == n2 > 0
