@@ -45,7 +45,6 @@ _DRIVER_WINDOW = [
     "corpus_filter",
     "stratified_sample",
     "embedding_centroid_distance",
-    "multimodal_features",
     "multimodal_image_features",
     # (a) driver-unseen before round 3 — queries_events
     "sessionized_events",
@@ -64,6 +63,16 @@ _DRIVER_WINDOW = [
     "decontamination",
     "knn_label_agreement",
     "lm_unigram_score",
+    # (oov_rates took multimodal_features' slot: D11 stays covered by the
+    # stricter multimodal_image_features, which has the analytic oracle)
+    "oov_rates",
+    # (boilerplate_shares took daily_summary's slot: A15's exact
+    # countDistinct is exercised inside the in-window approx_distinct_check)
+    "boilerplate_shares",
+    # (tpch_forecast_revenue took error_endpoints' slot: A8's error-rate +
+    # per-endpoint grouping logic lives in the in-window overall_error_rate
+    # and endpoint_stats)
+    "tpch_forecast_revenue",
     # (b) decidable-invariant wrappers for the approximate operators
     "dedup_embedding_lsh_check",
     "ann_lsh_check",
@@ -75,7 +84,6 @@ _DRIVER_WINDOW = [
     "rejects",
     "endpoint_stats",
     "overall_error_rate",
-    "error_endpoints",
     "endpoint_stats_timeframe",
     "ip_threat_scores",
     "security_events",
@@ -88,7 +96,6 @@ _DRIVER_WINDOW = [
     # (peak_traffic yielded its slot to lm_unigram_score; error_rate_5min to
     # knn_label_agreement — both stable-green in rounds 1-2 and of the same
     # windowed-traffic operator family as traffic_hourly, in-window)
-    "daily_summary",
     "rolling_traffic_anomalies",
     "iqr_anomalies",
     "dedup_minhash_lsh",

@@ -350,3 +350,71 @@ def oov_rates(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
             F.sum(F.col("in_vocab").isNull().cast("long")) / F.count("*"), 6
         ).alias("oov_rate"),
     )
+
+
+BOILERPLATE_K = 5
+BOILERPLATE_MIN_DOCS = 2
+
+
+def boilerplate_shares(
+    docs: DataFrame,
+    k: int = BOILERPLATE_K,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a document's
+    DISTINCT word-k-grams that occur in >= ``min_docs`` documents
+    corpus-wide — the template/navigation/footer screen (RefinedWeb /
+    C4-style boilerplate removal reads exactly this signal before
+    stripping or down-weighting).
+
+    Scale shape: tokens and shingles are materialized in their own
+    projections (the HOF-inlining pitfall), then exploded to
+    ``(doc_id, xxhash64(shingle))`` so the shuffle carries 8-byte keys,
+    never the k-gram strings; the document-frequency count
+    partial-aggregates map-side on the hash; the frequent set (tiny by
+    construction — only k-grams shared across docs survive) joins back
+    on the hash, AQE broadcasting it when small. The DuckDB oracle
+    counts on the raw shingle STRINGS — an independent mechanism, so a
+    hash-collision or explode bug flips the value hash.
+
+    ``explode_outer`` keeps <k-token documents as one null-shingle row
+    (guarded so xxhash64 never hashes the null), giving them
+    ``n_shingles = 0, share = 0.0`` to match the oracle's LEFT JOIN from
+    ``documents``.
+    """
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    sh = tok.select("doc_id", shingles_from_tokens(F.col("t"), k).alias("ts"))
+    pairs = sh.select(
+        "doc_id",
+        F.size("ts").alias("n_shingles"),
+        F.explode_outer("ts").alias("s"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        F.when(F.col("s").isNotNull(), F.xxhash64("s")).alias("h"),
+    )
+    freq = (
+        pairs.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("h", F.lit(True).alias("is_bp"))
+    )
+    flagged = pairs.join(freq, "h", "left")
+    agg = flagged.groupBy("doc_id").agg(
+        F.first("n_shingles").cast("bigint").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("is_bp").cast("long"), F.lit(0))).alias(
+            "n_boilerplate"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_boilerplate",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(F.col("n_boilerplate") / F.col("n_shingles"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boilerplate_share"),
+    )

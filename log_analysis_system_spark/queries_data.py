@@ -177,6 +177,10 @@ def q_oov_rates(spark, sf_dir):
     return ts.oov_rates(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_boilerplate_shares(spark, sf_dir):
+    return ts.boilerplate_shares(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_text_repetition(spark, sf_dir):
     return dp.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -241,6 +245,7 @@ QUERIES = {
     "vocab_top_terms": q_vocab_top_terms,
     "lm_unigram_score": q_lm_unigram_score,
     "oov_rates": q_oov_rates,
+    "boilerplate_shares": q_boilerplate_shares,
     "text_repetition": q_text_repetition,
     "sequence_pack": q_sequence_pack,
     "embedding_centroids": q_embedding_centroids,
@@ -615,6 +620,31 @@ SELECT doc_id, count(*) AS n_tokens,
              / count(*), 6) AS oov_rate
 FROM tok LEFT JOIN head USING (t)
 GROUP BY doc_id ORDER BY doc_id
+""",
+    # independent mechanism: Spark counts doc-frequency on xxhash64 keys,
+    # the oracle on the raw k-gram strings — a hash or explode bug flips it
+    "boilerplate_shares": f"""
+WITH {duck_shingles_cte("documents", k=ts.BOILERPLATE_K)},
+ex AS (SELECT doc_id, len(ts) AS n_shingles, unnest(ts) AS s FROM sh),
+freq AS (
+  SELECT s FROM ex GROUP BY s HAVING count(*) >= {ts.BOILERPLATE_MIN_DOCS}
+),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(max(e.n_shingles) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate
+  FROM ex e LEFT JOIN freq f ON e.s = f.s
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_boilerplate, 0) AS n_boilerplate,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN round(p.n_boilerplate / CAST(p.n_shingles AS DOUBLE), 6)
+            ELSE 0.0 END AS boilerplate_share
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
 """,
     "text_repetition": f"""
 WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -250,3 +250,53 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
+
+
+Q6_DATE_FROM = "1996-01-01"
+Q6_DATE_TO = "1997-01-01"
+Q6_DISCOUNT_LO = 0.02
+Q6_DISCOUNT_HI = 0.04
+Q6_MAX_QTY = 25
+
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Q6 shape: the pure predicate-pushdown check — a one-year shipdate
+    range, a discount band, and a quantity cap, all of which must reach the
+    parquet scan as PushedFilters (asserted in test_plans), followed by a
+    single partial-aggregating reduction to one row. No join, no wide
+    shuffle: the exchange carries one partial row per partition. Revenue
+    follows the Q1/Q3 decimal discipline (per-row DOUBLE product, DECIMAL
+    order-free sum, DOUBLE round at money scale).
+    """
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(Q6_DATE_FROM))
+            & (F.col("l_shipdate") < F.lit(Q6_DATE_TO))
+            & (F.col("l_discount") >= Q6_DISCOUNT_LO)
+            & (F.col("l_discount") <= Q6_DISCOUNT_HI)
+            & (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_forecast_revenue(spark, sf_dir):
+    return forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+QUERIES["tpch_forecast_revenue"] = q_tpch_forecast_revenue
+
+ORACLES["tpch_forecast_revenue"] = f"""
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_DATE_TO} 00:00:00'
+  AND l_discount BETWEEN {Q6_DISCOUNT_LO} AND {Q6_DISCOUNT_HI}
+  AND l_quantity < {Q6_MAX_QTY}
+"""

@@ -514,3 +514,44 @@ def test_new_ops_invariants_on_testdata(spark):
     corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
     assert all(r["probe_id"] in probe_ids and r["doc_id"] in corpus_ids
                for r in cont)
+
+
+def test_boilerplate_shares_hand_computed(spark):
+    """k=2, min_docs=2: the shared bigram is boilerplate, unique ones not;
+    a <k-token doc gets (0, 0, 0.0)."""
+    docs = docs_df(
+        spark,
+        [
+            "hello world foo",   # bigrams: {hello world, world foo}
+            "hello world bar",   # bigrams: {hello world, world bar}
+            "solo",              # < k tokens -> no shingles
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ts.boilerplate_shares(docs, k=2, min_docs=2).collect()
+    }
+    assert len(got) == 3
+    assert (got[0]["n_shingles"], got[0]["n_boilerplate"]) == (2, 1)
+    assert got[0]["boilerplate_share"] == 0.5
+    assert (got[1]["n_shingles"], got[1]["n_boilerplate"]) == (2, 1)
+    assert got[1]["boilerplate_share"] == 0.5
+    assert (got[2]["n_shingles"], got[2]["n_boilerplate"]) == (0, 0)
+    assert got[2]["boilerplate_share"] == 0.0
+
+
+def test_boilerplate_shares_min_docs_threshold(spark):
+    """min_docs above the max doc-frequency flags nothing."""
+    docs = docs_df(spark, ["a b c", "a b d"])
+    rows = ts.boilerplate_shares(docs, k=2, min_docs=3).collect()
+    assert all(r["n_boilerplate"] == 0 and r["boilerplate_share"] == 0.0 for r in rows)
+
+
+def test_boilerplate_shares_on_testdata(spark):
+    """Every doc gets exactly one row; shares live in [0, 1]; duplicated
+    docs (if any near-dups are planted) score above unique-text docs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = ts.boilerplate_shares(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(0.0 <= r["boilerplate_share"] <= 1.0 for r in rows)
+    assert all(r["n_boilerplate"] <= r["n_shingles"] for r in rows)

@@ -103,6 +103,21 @@ def test_parquet_scan_pushdown_where_possible(spark, registry):
     assert "LessThan(vec_id" in pushed
 
 
+def test_tpch_q6_pushes_all_three_predicates_to_scan(spark, registry):
+    """Q6 is THE pushdown query: shipdate range, discount band, and
+    quantity cap all filter raw parquet columns, so every one must appear
+    in PushedFilters (a scan reading all rows to filter in the engine is
+    the wrong plan at 100 TB), and the plan must stay join-free."""
+    plan = _plan(spark, "tpch_forecast_revenue",
+                 registry["tpch_forecast_revenue"])
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                 "LessThan(l_quantity"):
+        assert frag in pushed, f"Q6 predicate not pushed: {frag}"
+    assert "Join" not in plan
+
+
 def test_registry_fanout_queries_leave_no_sql_cache(spark, registry):
     """Fan-out queries share their parse via lazy localCheckpoint (blocks
     freed by the ContextCleaner on GC), never bare .persist() — repeated
