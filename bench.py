@@ -50,9 +50,11 @@ DATA_HEADLINE = [
     "sequence_pack",
     "session_stats",
     "tpch_shipping_priority",
-    # round-3 addition (totals stay non-comparable across rounds; per-query
+    # round-3 additions (totals stay non-comparable across rounds; per-query
     # times are the cross-round signal)
     "decontamination",
+    "boilerplate_shares",
+    "tpch_forecast_revenue",
 ]
 
 

@@ -380,3 +380,61 @@ def approx_distinct_daily(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(
+    events: DataFrame, stages: tuple[str, str, str] = FUNNEL_STAGES
+) -> DataFrame:
+    """Ordered-funnel analysis (strict sequence): per user, the first
+    stage-1 event, the first stage-2 event STRICTLY AFTER it, and the
+    first stage-3 event strictly after that, plus the deepest stage
+    reached — the conversion query every event-analytics engine ships.
+
+    Scale shape: each stage aggregate shuffles ONLY its own
+    event_type-filtered slice — the three slices are disjoint, so the
+    total shuffled volume is bounded by one corpus shuffle — and every
+    aggregate/join keys on user_id, so the stitched chain is either
+    broadcast (AQE, when a stage cohort is small) or co-partitioned. No
+    per-user arrays or sequence materialization: a hot user with 10^8
+    events keeps O(1) aggregate state per stage (min-timestamp), unlike
+    sort-array/collect_list funnel formulations.
+    """
+    s1, s2, s3 = stages
+    e = events.select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == s2)
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == s3)
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias(f"t_{s1}"),
+            F.col("t2").alias(f"t_{s2}"),
+            F.col("t3").alias(f"t_{s3}"),
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )

@@ -70,6 +70,10 @@ def q_props_key_stats(spark, sf_dir):
     return rel.props_key_stats(_events(spark, sf_dir))
 
 
+def q_funnel_stages(spark, sf_dir):
+    return rel.funnel_stages(_events(spark, sf_dir)).orderBy("user_id")
+
+
 def q_value_percentiles_approx(spark, sf_dir):
     # sketch-based -> approximate -> no oracle row (driver records
     # rows-only); tests bound the error against the exact operator
@@ -86,6 +90,7 @@ QUERIES = {
     "approx_distinct_daily": q_approx_distinct_daily,
     "session_window_stats": q_session_window_stats,
     "props_key_stats": q_props_key_stats,
+    "funnel_stages": q_funnel_stages,
     "value_percentiles_approx": q_value_percentiles_approx,
 }
 
@@ -229,5 +234,33 @@ FROM (
          CAST(json_extract_string(props, '$.k') AS INT) AS k
   FROM events
 ) GROUP BY event_type ORDER BY event_type
+""",
+    # independent formulation: Spark chains co-partitioned min-aggregates;
+    # the oracle recomputes each stage as a correlated join + group-min
+    "funnel_stages": """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS funnel_stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
 """,
 }

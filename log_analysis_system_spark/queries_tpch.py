@@ -300,3 +300,85 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_FROM} 00:00:00'
   AND l_discount BETWEEN {Q6_DISCOUNT_LO} AND {Q6_DISCOUNT_HI}
   AND l_quantity < {Q6_MAX_QTY}
 """
+
+
+Q18_MIN_QTY = 250
+Q18_TOP_N = 100
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = Q18_MIN_QTY,
+    top_n: int = Q18_TOP_N,
+) -> DataFrame:
+    """Q18 shape: AGGREGATE-DRIVEN semi-join — the HAVING predicate on the
+    fact aggregate produces a small orderkey set that then drives the
+    orders/customer joins, the reverse of Q3's dim-filter-first flow.
+
+    Scale path: the quantity rollup partial-aggregates map-side on
+    orderkey (bounded state per key), the filtered key set is orders of
+    magnitude smaller than lineitem, and AQE broadcast-converts the
+    orders<->big join when the survivor set is small; the customer join
+    keys on custkey. Sum-of-quantities follows the decimal discipline;
+    the top-n ranks (o_totalprice DESC, o_orderkey) via WindowGroupLimit.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_dec"))
+        .where(F.col("qty_dec") > min_qty)
+        .select(
+            "l_orderkey",
+            F.round(F.col("qty_dec").cast("double"), 6).alias("sum_qty"),
+        )
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_n)
+        .orderBy("rank")
+    )
+
+
+def q_tpch_large_volume_customers(spark, sf_dir):
+    return large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+QUERIES["tpch_large_volume_customers"] = q_tpch_large_volume_customers
+
+ORACLES["tpch_large_volume_customers"] = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(l_quantity AS DECIMAL(28,10))) AS qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING qty_dec > {Q18_MIN_QTY}
+),
+joined AS (
+  SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         round(o_totalprice, 2) AS o_totalprice,
+         round(CAST(qty_dec AS DOUBLE), 6) AS sum_qty
+  FROM orders
+  JOIN big ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+)
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (
+      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+  FROM joined
+) WHERE rank <= {Q18_TOP_N}
+ORDER BY rank
+"""

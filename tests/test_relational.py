@@ -275,3 +275,61 @@ def test_value_percentiles_approx_within_error_bound(spark):
         for q in ("p50", "p95", "p99"):
             denom = max(abs(e[q]), 1e-9)
             assert abs(a[q] - e[q]) / denom < 0.02, (et, q, a[q], e[q])
+
+
+def test_funnel_strict_ordering(spark):
+    """A stage-2 event BEFORE the first stage-1 event must not count; the
+    funnel requires view < click < purchase strictly."""
+    ev = _events(
+        spark,
+        [
+            # user 1: click precedes the first view -> stage stalls at 1
+            (1, 1, "click", 0.0, "2024-01-01 09:00:00"),
+            (2, 1, "view", 0.0, "2024-01-01 10:00:00"),
+            # user 2: full ordered funnel
+            (3, 2, "view", 0.0, "2024-01-01 08:00:00"),
+            (4, 2, "click", 0.0, "2024-01-01 08:30:00"),
+            (5, 2, "purchase", 0.0, "2024-01-01 09:00:00"),
+            # user 3: purchase BEFORE the click -> stage 2 only
+            (6, 3, "view", 0.0, "2024-01-01 08:00:00"),
+            (7, 3, "purchase", 0.0, "2024-01-01 08:10:00"),
+            (8, 3, "click", 0.0, "2024-01-01 08:20:00"),
+            # user 4: never views -> not in the funnel at all
+            (9, 4, "click", 0.0, "2024-01-01 08:00:00"),
+        ],
+    )
+    got = {r["user_id"]: r for r in rel.funnel_stages(ev).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["funnel_stage"] == 1 and got[1]["t_click"] is None
+    assert got[2]["funnel_stage"] == 3
+    assert got[3]["funnel_stage"] == 2 and got[3]["t_purchase"] is None
+
+
+def test_funnel_equal_timestamp_not_counted(spark):
+    """Simultaneous stage-1/stage-2 events: strict > means the click at the
+    exact view timestamp does not advance the funnel."""
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", 0.0, "2024-01-01 08:00:00"),
+            (2, 1, "click", 0.0, "2024-01-01 08:00:00"),
+        ],
+    )
+    rows = rel.funnel_stages(ev).collect()
+    assert len(rows) == 1 and rows[0]["funnel_stage"] == 1
+
+
+def test_funnel_on_testdata_monotone(spark):
+    """Stage cohort sizes are monotone non-increasing and timestamps are
+    ordered within each user row."""
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    rows = rel.funnel_stages(ev).collect()
+    n1 = len(rows)
+    n2 = sum(r["funnel_stage"] >= 2 for r in rows)
+    n3 = sum(r["funnel_stage"] == 3 for r in rows)
+    assert n1 >= n2 >= n3 > 0
+    for r in rows:
+        if r["t_click"] is not None:
+            assert r["t_click"] > r["t_view"]
+        if r["t_purchase"] is not None:
+            assert r["t_purchase"] > r["t_click"]
