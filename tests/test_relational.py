@@ -333,3 +333,49 @@ def test_funnel_on_testdata_monotone(spark):
             assert r["t_click"] > r["t_view"]
         if r["t_purchase"] is not None:
             assert r["t_purchase"] > r["t_click"]
+
+
+def test_funnel_property_vs_bruteforce(spark):
+    """Randomized cross-check: funnel_stages agrees with a brute-force
+    Python reference on ~40 small random event logs (duplicate timestamps,
+    missing stages, interleaved users) batched through ONE Spark job."""
+    import random
+
+    rng = random.Random(20260818)
+    types = ["view", "click", "purchase", "error"]
+    rows, expected = [], {}
+    eid = 0
+    for case in range(40):
+        base_user = case * 10
+        for u in range(base_user, base_user + rng.randint(1, 4)):
+            evs = []
+            for _ in range(rng.randint(1, 12)):
+                t = rng.randint(0, 20)
+                ty = rng.choice(types)
+                evs.append((ty, t))
+                eid += 1
+                rows.append(
+                    (eid, u, ty, 0.0, f"2024-01-01 00:00:{t:02d}")
+                )
+            # brute-force strict-ordered funnel
+            t1 = min((t for ty, t in evs if ty == "view"), default=None)
+            t2 = (
+                min((t for ty, t in evs if ty == "click" and t > t1), default=None)
+                if t1 is not None else None
+            )
+            t3 = (
+                min((t for ty, t in evs if ty == "purchase" and t > t2), default=None)
+                if t2 is not None else None
+            )
+            if t1 is not None:
+                expected[u] = (t1, t2, t3, 3 if t3 is not None else 2 if t2 is not None else 1)
+    got = {
+        r["user_id"]: (
+            r["t_view"].second if r["t_view"] else None,
+            r["t_click"].second if r["t_click"] else None,
+            r["t_purchase"].second if r["t_purchase"] else None,
+            r["funnel_stage"],
+        )
+        for r in rel.funnel_stages(_events(spark, rows)).collect()
+    }
+    assert got == expected
