@@ -144,6 +144,16 @@ def test_dedup_plans_have_no_per_group_arrays(spark, registry):
         )
 
 
+def test_funnel_plan_has_no_per_user_sequences(spark, registry):
+    """The funnel must keep O(1) aggregate state per user: sort_array /
+    collect_list formulations blow up on hot users (10^8 events), so the
+    plan may contain only min-aggregates and user_id-keyed joins."""
+    plan = _plan(spark, "funnel_stages", registry["funnel_stages"])
+    for banned in ("collect_list", "collect_set", "sort_array"):
+        assert banned not in plan, f"funnel materializes per-user arrays ({banned})"
+    assert not BNLJ.search(plan) and not CARTESIAN.search(plan)
+
+
 def test_filtered_parse_queries_avoid_codegen_blowup(spark, registry):
     """Filtering a parse-DERIVED column below a SQL-engine parse projection
     substitutes the whole regex cascade into one unsplittable boolean —
