@@ -16,9 +16,9 @@ value-exact in the local replica gate, ``tools/check_correctness.py``),
 operators (queries_checks — so the gate has zero rows-only entries), and
 (c) the highest-value long-stable log/dedup queries (green in rounds 1-2).
 Entries beyond the window stay registered and are verified by the local
-replica gate + pytest each round. (funnel_stages and
-tpch_large_volume_customers, added late in round 3, wait outside the
-window — every slot is held by a §2-mapped operator or a first-driver-row
+replica gate + pytest each round. (funnel_stages,
+tpch_large_volume_customers and tpch_promo_revenue, added late in round 3,
+wait outside the window — every slot is held by a §2-mapped operator or a first-driver-row
 round-3 entry; rotate them in next round.)
 """
 

@@ -1,7 +1,9 @@
 """Classic warehouse-analytics queries over the TPC-H-ish tables, with
 paired DuckDB oracle SQL — the multi-table star-join breadth check.
 
-Shapes (not copies — column subset differs from official TPC-H):
+Shapes (not copies — column subset differs from official TPC-H); later in
+the module: Q5 (6-table join chain), Q6 (pure pushdown reduction), Q18
+(aggregate-driven semi-join), Q14 (conditional-aggregation join):
 
 - ``pricing_summary`` (Q1 shape): the canonical scan-heavy grouped
   aggregate; all sums decimal-cast so partition order can't flip the
@@ -381,4 +383,69 @@ SELECT * FROM (
   FROM joined
 ) WHERE rank <= {Q18_TOP_N}
 ORDER BY rank
+"""
+
+
+Q14_DATE_FROM = "1996-09-01"
+Q14_DATE_TO = "1996-10-01"
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q14 shape: CONDITIONAL aggregation over a fact<->dim join — one
+    month of lineitem joined to part on partkey, emitting the promo share
+    of revenue (numerator = CASE on the dim attribute) in a single pass.
+
+    Scale path: the month filter pushes to the fact scan; the join keys on
+    partkey (AQE broadcast-converts when the part side fits, shuffle
+    otherwise — at TPC-H scale part is too big to broadcast, so no hint is
+    hard-coded); numerator and denominator partial-aggregate together in
+    one reduction. Decimal discipline as Q1/Q3; the final ratio is
+    double/double with both engines evaluating (100.0 * num) / den.
+    """
+    items = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(Q14_DATE_FROM))
+        & (F.col("l_shipdate") < F.lit(Q14_DATE_TO))
+    ).select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).cast(_DEC).alias("rev"),
+    )
+    joined = items.join(
+        part.select("p_partkey", "p_type"),
+        items.l_partkey == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_tpch_promo_revenue(spark, sf_dir):
+    return promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+QUERIES["tpch_promo_revenue"] = q_tpch_promo_revenue
+
+ORACLES["tpch_promo_revenue"] = f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(28,10))
+                    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(28,10))) AS DOUBLE), 6) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_DATE_TO} 00:00:00'
 """
