@@ -384,6 +384,13 @@ def boilerplate_shares(
     """
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     sh = tok.select("doc_id", shingles_from_tokens(F.col("t"), k).alias("ts"))
+    # pairs feeds BOTH the doc-frequency aggregate and the join-back side.
+    # Deliberately NO checkpoint barrier (unlike dedup.py's shingle frames):
+    # no constraint-inference HOF re-substitution occurs here (plan
+    # verified: split stays in its own projection), and recomputing the
+    # codegen tokenize/shingle pass measures 40% cheaper than
+    # materializing the exploded (doc, hash) frame (1.58 s vs 2.64 s at
+    # sf0.1 — the explode is ~shingles-per-doc× the corpus row count).
     pairs = sh.select(
         "doc_id",
         F.size("ts").alias("n_shingles"),
