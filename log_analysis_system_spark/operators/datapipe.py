@@ -289,3 +289,69 @@ def corpus_filter(docs: DataFrame) -> DataFrame:
             .alias("reason"),
         )
     )
+
+
+QUANT_BITS = 8
+
+
+def embedding_quantization(emb: DataFrame, bits: int = QUANT_BITS) -> DataFrame:
+    """Scalar (per-dimension min-max) quantization of the embedding column
+    to 2^bits levels, with per-vector reconstruction error — the
+    compression step a 10^12-vector ANN store applies before indexing
+    (int8 SQ cuts vector bytes 4x; recall is then re-verified against
+    dequantized values).
+
+    Scale shape: the per-dim lo/hi range is a posexplode partial-agg (the
+    shuffle carries dim-count cells per task, never vectors); the
+    dim-ordered range arrays assemble via array_sort(collect_list(struct))
+    on the DIM-BOUNDED aggregate (the bounded-collect pattern of
+    embedding_centroid_distance) and broadcast; quantize / dequantize /
+    error are row-local HOF arithmetic. Cross-engine determinism:
+    half-up rounding is spelled floor(x + 0.5) on BOTH engines (no
+    reliance on round()'s tie mode), per-element ops run in DOUBLE
+    (IEEE-identical), and the 9-dp rounds sit ~12 orders of magnitude
+    above the fold-order noise floor.
+    """
+    levels = float(2**bits - 1)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    rng = ex.groupBy("dim").agg(
+        F.min(F.col("val").cast("double")).alias("lo"),
+        F.max(F.col("val").cast("double")).alias("hi"),
+    )
+    packed = (
+        rng.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))).alias("r")
+        ).select(
+            F.transform("r", lambda s: s["lo"]).alias("los"),
+            F.transform("r", lambda s: s["hi"]).alias("his"),
+        )
+    )
+
+    def _err(i):
+        v = F.element_at(F.col("embedding"), i).cast("double")
+        lo = F.element_at(F.col("los"), i)
+        hi = F.element_at(F.col("his"), i)
+        q = F.when(
+            hi > lo,
+            F.floor((v - lo) * F.lit(levels) / (hi - lo) + F.lit(0.5)).cast(
+                "double"
+            ),
+        ).otherwise(F.lit(0.0))
+        dq = lo + q * (hi - lo) / F.lit(levels)
+        return v - dq
+
+    errs_col = F.transform(F.sequence(F.lit(1), F.size("embedding")), _err)
+    joined = emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id", F.size("embedding").alias("n"), errs_col.alias("e")
+    )
+    return joined.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                "e", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            / F.col("n"),
+            9,
+        ).alias("mse"),
+        F.round(F.array_max(F.transform("e", F.abs)), 9).alias("max_abs_err"),
+    )

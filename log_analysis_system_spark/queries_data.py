@@ -201,6 +201,10 @@ def q_stratified_sample(spark, sf_dir):
     return dp.stratified_sample(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_embedding_quantization(spark, sf_dir):
+    return dp.embedding_quantization(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
 def q_embedding_centroid_distance(spark, sf_dir):
     return dp.embedding_centroid_distance(_emb(spark, sf_dir)).orderBy("vec_id")
 
@@ -252,6 +256,7 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
     "embedding_centroid_distance": q_embedding_centroid_distance,
+    "embedding_quantization": q_embedding_quantization,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
 }
@@ -794,3 +799,35 @@ ORACLES["ann_topk_cosine_np"] = ORACLES["ann_topk_cosine"]
 # full-probe IVF scores every inverted list -> exact search, row-identical
 # to brute force (verified by test_ann_ivf_fullprobe_equals_brute_force)
 ORACLES["ann_ivf_fullprobe"] = ORACLES["ann_topk_cosine"]
+
+# quantize/dequantize in both engines with floor(x+0.5) half-up (no round()
+# tie-mode reliance); per-element DOUBLE ops are IEEE-identical; round-9
+# sits ~12 orders above the fold-order noise of the 64-term sums
+ORACLES["embedding_quantization"] = """
+WITH ex AS (
+  SELECT unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+rng AS (
+  SELECT dim, min(CAST(val AS DOUBLE)) AS lo, max(CAST(val AS DOUBLE)) AS hi
+  FROM ex GROUP BY dim
+),
+packed AS (
+  SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM rng
+),
+errs AS (
+  SELECT vec_id, len(embedding) AS n,
+         [CAST(embedding[i] AS DOUBLE) -
+            (los[i] + (CASE WHEN his[i] > los[i]
+                 THEN floor((CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0
+                            / (his[i] - los[i]) + 0.5)
+                 ELSE 0.0 END) * (his[i] - los[i]) / 255.0)
+          for i in range(1, len(embedding) + 1)] AS e
+  FROM embeddings CROSS JOIN packed
+)
+SELECT vec_id,
+       round(list_sum([x * x for x in e]) / n, 9) AS mse,
+       round(list_max([abs(x) for x in e]), 9) AS max_abs_err
+FROM errs ORDER BY vec_id
+"""

@@ -231,3 +231,33 @@ def test_vocab_top_terms_coverage_monotone_and_exact(spark):
     assert rows[1]["cum_coverage"] == round(8 / total, 6)
     cum = [r["cum_coverage"] for r in rows]
     assert cum == sorted(cum)
+
+
+def test_embedding_quantization_endpoints_exact(spark):
+    """Values AT the per-dim min/max quantize to levels 0/255 and
+    reconstruct exactly -> zero error."""
+    from log_analysis_system_spark.operators import datapipe as dp
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0], 0), (1, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in dp.embedding_quantization(emb).collect()}
+    assert rows[0]["mse"] == 0.0 and rows[0]["max_abs_err"] == 0.0
+    assert rows[1]["mse"] == 0.0 and rows[1]["max_abs_err"] == 0.0
+
+
+def test_embedding_quantization_error_bound_on_testdata(spark):
+    """Reconstruction error obeys the analytic SQ bound: per-vector
+    max_abs_err <= max_dim (hi-lo) / (2 * 255)."""
+    import numpy as np
+    from log_analysis_system_spark.operators import datapipe as dp
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array([r["embedding"] for r in emb.select("embedding").collect()],
+                    dtype=np.float64)
+    bound = float((vecs.max(axis=0) - vecs.min(axis=0)).max()) / (2 * 255)
+    rows = dp.embedding_quantization(emb).collect()
+    assert len(rows) == vecs.shape[0]
+    assert all(0.0 <= r["mse"] <= bound * bound * 1.000001 for r in rows)
+    assert all(r["max_abs_err"] <= bound * 1.000001 for r in rows)
