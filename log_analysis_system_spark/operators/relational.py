@@ -438,3 +438,59 @@ def funnel_stages(
             .alias("funnel_stage"),
         )
     )
+
+
+HISTOGRAM_BINS = 10
+
+
+def value_histogram(
+    events: DataFrame, col: str = "value", bins: int = HISTOGRAM_BINS
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (data-profiling staple):
+    global [min, max] split into ``bins`` equal bins, per-bin count and
+    share; the max value closes into the last bin; nulls are reported as
+    bin -1.
+
+    Scale shape: one partial-agg pass for the global range (2 doubles per
+    task through the shuffle), broadcast back as a 1-row frame; the bin
+    assignment is a row-local projection and the per-bin rollup
+    partial-aggregates into at most bins+1 cells. The share divides exact
+    integer counts — no float-aggregation noise anywhere.
+    """
+    rng = events.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+        F.count("*").alias("n_total"),
+    )
+    v = F.col(col).cast("double")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    bin_ = (
+        F.when(v.isNull(), F.lit(-1))
+        .when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v - F.col("lo")) / width).cast("int"),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        events.crossJoin(F.broadcast(rng))
+        .select(bin_.alias("bin"), "n_total", F.col("lo"), width.alias("w"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("n_total").alias("n_total"),
+            F.when(
+                F.col("bin") >= 0,
+                F.round(F.first("lo") + F.col("bin") * F.first("w"), 6),
+            ).alias("bin_lo"),
+        )
+        .select(
+            "bin",
+            "bin_lo",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+    )

@@ -74,6 +74,10 @@ def q_funnel_stages(spark, sf_dir):
     return rel.funnel_stages(_events(spark, sf_dir)).orderBy("user_id")
 
 
+def q_value_histogram(spark, sf_dir):
+    return rel.value_histogram(_events(spark, sf_dir)).orderBy("bin")
+
+
 def q_value_percentiles_approx(spark, sf_dir):
     # sketch-based -> approximate -> no oracle row (driver records
     # rows-only); tests bound the error against the exact operator
@@ -91,6 +95,7 @@ QUERIES = {
     "session_window_stats": q_session_window_stats,
     "props_key_stats": q_props_key_stats,
     "funnel_stages": q_funnel_stages,
+    "value_histogram": q_value_histogram,
     "value_percentiles_approx": q_value_percentiles_approx,
 }
 
@@ -237,6 +242,31 @@ FROM (
 """,
     # independent formulation: Spark chains co-partitioned min-aggregates;
     # the oracle recomputes each stage as a correlated join + group-min
+
+    # identical expression trees on both engines: w = (hi-lo)/10.0, bin =
+    # least(floor((v-lo)/w), 9); the max value closes into the last bin
+    "value_histogram": """
+WITH rng AS (
+  SELECT min(CAST(value AS DOUBLE)) AS lo,
+         max(CAST(value AS DOUBLE)) AS hi,
+         count(*) AS n_total,
+         (max(CAST(value AS DOUBLE)) - min(CAST(value AS DOUBLE))) / 10.0 AS w
+  FROM events
+),
+binned AS (
+  SELECT CAST(CASE WHEN value IS NULL THEN -1
+              WHEN hi = lo THEN 0
+              ELSE least(CAST(floor((CAST(value AS DOUBLE) - lo) / w) AS INT), 9)
+         END AS INT) AS bin,
+         n_total, lo, w
+  FROM events CROSS JOIN rng
+)
+SELECT bin,
+       CASE WHEN bin >= 0 THEN round(lo + bin * w, 6) END AS bin_lo,
+       count(*) AS n,
+       round(count(*) / CAST(n_total AS DOUBLE), 6) AS share
+FROM binned GROUP BY bin, n_total, lo, w ORDER BY bin
+""",
     "funnel_stages": """
 WITH v AS (
   SELECT user_id, min(ts) AS t_view FROM events

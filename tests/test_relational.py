@@ -379,3 +379,30 @@ def test_funnel_property_vs_bruteforce(spark):
         for r in rel.funnel_stages(_events(spark, rows)).collect()
     }
     assert got == expected
+
+
+def test_value_histogram_semantics(spark):
+    """10 equal bins over [0, 10]: v=10 closes into bin 9; nulls land in
+    bin -1; shares sum to 1."""
+    rows = [(i, 1, "view", float(v), "2024-01-01 00:00:00")
+            for i, v in enumerate([0, 1, 5, 9.99, 10])]
+    ev = _events(spark, rows)
+    ev = ev.unionByName(
+        ev.limit(1).withColumn("value", F.lit(None).cast("double"))
+        .withColumn("event_id", F.lit(99))
+    )
+    got = {r["bin"]: r for r in rel.value_histogram(ev).collect()}
+    assert got[-1]["n"] == 1 and got[-1]["bin_lo"] is None
+    assert got[0]["n"] == 1          # 0
+    assert got[1]["n"] == 1          # 1
+    assert got[5]["n"] == 1          # 5
+    assert got[9]["n"] == 2          # 9.99 and the max value 10
+    # shares are rounded to 6 dp each, so the sum carries up to n*5e-7 slack
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-5
+
+
+def test_value_histogram_constant_column(spark):
+    """hi == lo degenerates to one bin holding everything."""
+    rows = [(i, 1, "view", 3.0, "2024-01-01 00:00:00") for i in range(4)]
+    got = rel.value_histogram(_events(spark, rows)).collect()
+    assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["n"] == 4
