@@ -187,3 +187,152 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
         multimodal.mapInPandas(run, FEATURE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------- WAV codec
+AUDIO_SAMPLE_RATE = 8000
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Deterministic tiny RIFF/WAVE PCM16 mono clip for doc_id: 8 kHz,
+    n = 16 + doc_id % 17 samples, sample i = ((doc_id*131 + i*17) % 2001)
+    - 1000. Mirrors the analytic oracle SQL."""
+    import struct
+
+    sr = AUDIO_SAMPLE_RATE
+    n = 16 + doc_id % 17
+    samples = [((doc_id * 131 + i * 17) % 2001) - 1000 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Feature-extract one audio payload. RIFF/WAVE PCM16 mono is decoded
+    for real — chunk walk (unknown chunks skipped, word-aligned) + NumPy
+    sample statistics; any other payload yields byte-level features with
+    null audio fields (the codec-stack seam, same as decode_image).
+
+    Determinism note: every intermediate (sample squares, their sums) is
+    an exact integer below 2^53, so float64 statistics here equal the
+    DuckDB oracle's integer-arithmetic results bit-for-bit before the
+    final IEEE sqrt/divide.
+    """
+    import struct
+
+    payload = bytes(payload)
+    out = {
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else None,
+        "last_byte": payload[-1] if payload else None,
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_sec": None,
+        "mean_sample": None,
+        "rms": None,
+        "peak": None,
+    }
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return out
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE missing fmt or data chunk")
+    audio_format, channels, sr, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}, "
+            f"channels={channels}); only PCM16 mono is decoded here"
+        )
+    a = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    if a.size == 0:
+        raise ValueError("empty data chunk")
+    out.update(
+        sample_rate=sr,
+        n_samples=int(a.size),
+        duration_sec=float(a.size) / sr,
+        mean_sample=float(a.sum() / a.size),
+        rms=float(np.sqrt((a * a).sum() / a.size)),
+        peak=int(np.abs(a).max()),
+    )
+    return out
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("first_byte", IntegerType()),
+        StructField("last_byte", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("mean_sample", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+_AUDIO_COLS = [f.name for f in AUDIO_SCHEMA.fields[2:]]
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Synthetic-audio ingest: a deterministic PCM16 WAV per doc_id
+    (``make_wav``), generated executor-side in Arrow batches — the audio
+    sibling of attach_ppm_payload, with an analytically-computable oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    raw = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    return raw.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.lit("synthetic").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def extract_audio_features(multimodal: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction (duration / mean / RMS /
+    peak) over binary payloads — same batch shape as extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [decode_audio(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats, columns=_AUDIO_COLS)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            out.insert(1, "mime", [m["mime"] for m in pdf["meta"]])
+            yield out
+
+    return multimodal.mapInPandas(run, AUDIO_SCHEMA)

@@ -223,6 +223,16 @@ def q_multimodal_image_features(spark, sf_dir):
     return df
 
 
+def q_multimodal_audio_features(spark, sf_dir):
+    """Real audio decode path: deterministic PCM16 WAV per doc ->
+    pure-Python RIFF chunk walk -> duration/mean/RMS/peak (analytic
+    oracle; every pre-sqrt intermediate is an exact integer in float64)."""
+    df = mm.extract_audio_features(mm.attach_wav_payload(_docs(spark, sf_dir)))
+    for c in ("duration_sec", "mean_sample", "rms"):
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df.orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -259,6 +269,7 @@ QUERIES = {
     "embedding_quantization": q_embedding_quantization,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }
 
 
@@ -830,4 +841,28 @@ SELECT vec_id,
        round(list_sum([x * x for x in e]) / n, 9) AS mse,
        round(list_max([abs(x) for x in e]), 9) AS max_abs_err
 FROM errs ORDER BY vec_id
+"""
+
+# analytic WAV oracle: regenerates the PCM16 samples in SQL; every
+# pre-sqrt intermediate is an exact integer (< 2^53) on both engines, so
+# the float statistics agree bit-for-bit before the 6-dp rounds
+ORACLES["multimodal_audio_features"] = """
+WITH base AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         [(doc_id * 131 + i * 17) % 2001 - 1000 for i in range(0, n)] AS a
+  FROM base
+)
+SELECT doc_id,
+       'audio/wav' AS mime,
+       CAST(44 + 2 * n AS INT) AS n_bytes,
+       CAST(82 AS INT) AS first_byte,
+       CAST(((a[n] + 65536) % 65536) // 256 AS INT) AS last_byte,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       round(n / 8000.0, 6) AS duration_sec,
+       round(CAST(list_sum(a) AS DOUBLE) / n, 6) AS mean_sample,
+       round(sqrt(CAST(list_sum([x * x for x in a]) AS DOUBLE) / n), 6) AS rms,
+       CAST(list_max([abs(x) for x in a]) AS INT) AS peak
+FROM s ORDER BY doc_id
 """

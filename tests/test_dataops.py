@@ -555,3 +555,49 @@ def test_boilerplate_shares_on_testdata(spark):
     assert len(rows) == docs.count()
     assert all(0.0 <= r["boilerplate_share"] <= 1.0 for r in rows)
     assert all(r["n_boilerplate"] <= r["n_shingles"] for r in rows)
+
+
+def test_wav_decode_roundtrip_and_chunk_walk():
+    """decode_audio parses make_wav output; an inserted unknown chunk (odd
+    size, word-aligned) is skipped; non-PCM16 formats fail loudly."""
+    import struct
+
+    import numpy as np
+
+    from log_analysis_system_spark.operators import multimodal as mm
+
+    payload = mm.make_wav(7)
+    out = mm.decode_audio(payload)
+    n = 16 + 7 % 17
+    samples = np.array(
+        [((7 * 131 + i * 17) % 2001) - 1000 for i in range(n)], dtype=np.float64
+    )
+    assert out["sample_rate"] == 8000 and out["n_samples"] == n
+    assert out["mean_sample"] == samples.mean()
+    assert out["rms"] == np.sqrt((samples * samples).sum() / n)
+    assert out["peak"] == int(np.abs(samples).max())
+
+    # splice an unknown 3-byte chunk (padded to 4) after WAVE: still decodes
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = payload[:12] + junk + payload[12:]
+    assert mm.decode_audio(spliced)["rms"] == out["rms"]
+
+    # stereo / non-16-bit formats are rejected, not silently mis-decoded
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (payload[:20] + bad_fmt + payload[36:])
+    with pytest.raises(Exception, match="only PCM16 mono"):
+        mm.decode_audio(bad)
+
+    # non-RIFF payloads fall back to byte features with null audio fields
+    fb = mm.decode_audio(b"not audio at all")
+    assert fb["sample_rate"] is None and fb["n_bytes"] == 16
+
+
+def test_audio_features_on_testdata(spark):
+    from log_analysis_system_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = mm.extract_audio_features(mm.attach_wav_payload(docs)).collect()
+    assert len(rows) == docs.count()
+    assert all(r["peak"] <= 1000 and r["rms"] <= r["peak"] for r in rows)
+    assert all(r["n_bytes"] == 44 + 2 * r["n_samples"] for r in rows)
