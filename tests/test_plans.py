@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
     "vocab_top_terms",        # 1-row total-token frame broadcast into shares
     "lm_unigram_score",       # 1-row total-token frame broadcast into -ln(p)
+    "embedding_quantization", # 1-row dim-range arrays broadcast into quantize
+    "value_histogram",        # 1-row global-range frame broadcast into binning
     "knn_label_agreement",    # exact neighbor source at test scale (broadcast
                               # query set x corpus); ANN neighbor frame at scale
     # invariant-check wrappers: 1-row verdict aggregates joined conditionless
