@@ -145,3 +145,26 @@ def conversation_format_detection(
     return counts.select(
         "conv_id", detected.alias("detected_format"), "n_sampled"
     ).orderBy("conv_id")
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Role-transition matrix: counts of (prev_role -> role) adjacencies in
+    stable ``(conv_id, turn_idx)`` order — the conversation-structure
+    profile (who speaks after whom, tool-call sandwiches, double-assistant
+    turns) a transcript QA pass reads before training; conversation starts
+    count under prev_role = '<start>'.
+
+    Scale: one conv_id shuffle for the lag window (hot conversations
+    bounded by max conversation length), then a |roles|^2-cell rollup that
+    partial-aggregates map-side.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = transcripts.select(
+        "conv_id",
+        F.coalesce(F.lag("role").over(w), F.lit("<start>")).alias("prev_role"),
+        "role",
+    )
+    return lagged.groupBy("prev_role", "role").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("conv_id").alias("n_conversations"),
+    )

@@ -364,6 +364,12 @@ def q_turns_per_conversation(spark, sf_dir):
     return win.turns_per_conversation(load_transcripts(spark, sf_dir))
 
 
+def q_role_transitions(spark, sf_dir):
+    return win.role_transitions(load_transcripts(spark, sf_dir)).orderBy(
+        "prev_role", "role"
+    )
+
+
 def q_tool_invocations(spark, sf_dir):
     return win.tool_invocation_counts(load_transcripts(spark, sf_dir))
 
@@ -718,6 +724,18 @@ SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
        CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM transcripts GROUP BY conv_id""",
+    "role_transitions": P
+    + """
+, lagged AS (
+  SELECT conv_id,
+         coalesce(lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '<start>') AS prev_role,
+         role
+  FROM transcripts
+)
+SELECT prev_role, role, count(*) AS n,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversations
+FROM lagged GROUP BY prev_role, role ORDER BY prev_role, role""",
     "tool_invocations": P
     + """
 SELECT tool, count(*) AS n_invocations,
@@ -797,6 +815,7 @@ QUERIES = {
     "iqr_anomalies": q_iqr_anomalies,
     "turns_per_conversation": q_turns_per_conversation,
     "tool_invocations": q_tool_invocations,
+    "role_transitions": q_role_transitions,
     "turn_gaps": q_turn_gaps,
     "turn_ordering_check": q_turn_ordering_check,
     "conversation_alert_rates": q_conversation_alert_rates,

@@ -406,3 +406,22 @@ def test_value_histogram_constant_column(spark):
     rows = [(i, 1, "view", 3.0, "2024-01-01 00:00:00") for i in range(4)]
     got = rel.value_histogram(_events(spark, rows)).collect()
     assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["n"] == 4
+
+
+def test_role_transitions_hand_computed(spark):
+    from log_analysis_system_spark.operators import windows as win
+
+    rows = [
+        # conv A: user -> assistant -> user
+        ("a", 0, "user"), ("a", 1, "assistant"), ("a", 2, "user"),
+        # conv B: user -> assistant
+        ("b", 0, "user"), ("b", 1, "assistant"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {(r["prev_role"], r["role"]): r for r in win.role_transitions(t).collect()}
+    assert got[("<start>", "user")]["n"] == 2
+    assert got[("<start>", "user")]["n_conversations"] == 2
+    assert got[("user", "assistant")]["n"] == 2
+    assert got[("assistant", "user")]["n"] == 1
+    assert got[("assistant", "user")]["n_conversations"] == 1
+    assert sum(r["n"] for r in got.values()) == len(rows)
