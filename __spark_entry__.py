@@ -66,6 +66,22 @@ _DRIVER_WINDOW = [
     "decontamination",
     "knn_label_agreement",
     "lm_unigram_score",
+    # (conv_skew_profile took overall_error_rate's slot: A7's conditional
+    # error rate is aggregated inside the in-window endpoint_stats and
+    # endpoint_method_rollup's n_errors)
+    "conv_skew_profile",
+    # (endpoint_method_rollup took endpoint_stats_timeframe's slot: S11's
+    # per-endpoint agg shape lives in the in-window endpoint_stats; the
+    # timeframe BETWEEN filter is exercised by the registered
+    # timeframe_logs/error_timeframe_logs, green in rounds 1-2)
+    "endpoint_method_rollup",
+    # (snapshot_diff took suspicious_ips' slot: J1's broadcast semi-join +
+    # A11's deterministic first-row live inside the in-window
+    # security_events and ip_threat_scores)
+    "snapshot_diff",
+    # (tpch_order_priority took traffic_hourly's slot: A9's tumbling count
+    # is the input series of the in-window rolling_traffic_anomalies)
+    "tpch_order_priority",
     # (oov_rates took multimodal_features' slot: D11 stays covered by the
     # stricter multimodal_image_features, which has the analytic oracle)
     "oov_rates",
@@ -73,8 +89,8 @@ _DRIVER_WINDOW = [
     # countDistinct is exercised inside the in-window approx_distinct_check)
     "boilerplate_shares",
     # (tpch_forecast_revenue took error_endpoints' slot: A8's error-rate +
-    # per-endpoint grouping logic lives in the in-window overall_error_rate
-    # and endpoint_stats)
+    # per-endpoint grouping logic lives in the in-window endpoint_stats and
+    # endpoint_method_rollup)
     "tpch_forecast_revenue",
     # (b) decidable-invariant wrappers for the approximate operators
     "dedup_embedding_lsh_check",
@@ -86,19 +102,15 @@ _DRIVER_WINDOW = [
     "parsed_turns",
     "rejects",
     "endpoint_stats",
-    "overall_error_rate",
-    "endpoint_stats_timeframe",
     "ip_threat_scores",
     "security_events",
     # (brute_force yielded its slot to tpch_local_supplier_volume; its
     # events flow into the in-window ip_threat_scores + security_events)
-    "suspicious_ips",
     # (unusual_methods yielded its slot to decontamination: its logic is
     # inside security_events + ip_threat_scores, both still in-window)
-    "traffic_hourly",
     # (peak_traffic yielded its slot to lm_unigram_score; error_rate_5min to
     # knn_label_agreement — both stable-green in rounds 1-2 and of the same
-    # windowed-traffic operator family as traffic_hourly, in-window)
+    # windowed-traffic family as rolling_traffic_anomalies, in-window)
     "rolling_traffic_anomalies",
     "iqr_anomalies",
     "dedup_minhash_lsh",

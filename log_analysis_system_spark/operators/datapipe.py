@@ -355,3 +355,53 @@ def embedding_quantization(emb: DataFrame, bits: int = QUANT_BITS) -> DataFrame:
         ).alias("mse"),
         F.round(F.array_max(F.transform("e", F.abs)), 9).alias("max_abs_err"),
     )
+
+
+# deterministic two-snapshot derivation for the CDC diff: the old snapshot
+# misses every 7th doc (later "added"), the new one drops every 5th
+# ("removed") and rewrites every 11th's text ("changed")
+SNAP_ADD_MOD = 7
+SNAP_DROP_MOD = 5
+SNAP_EDIT_MOD = 11
+
+
+def snapshot_versions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive (old, new) corpus snapshots deterministically from one
+    documents table — the test/bench stand-in for two Iceberg snapshots of
+    an evolving corpus."""
+    old = docs.where(F.col("doc_id") % SNAP_ADD_MOD != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % SNAP_DROP_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SNAP_EDIT_MOD == 0, F.reverse(F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return old, new
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """CDC table diff: classify every key across two corpus snapshots as
+    added / removed / changed by comparing content fingerprints — the
+    incremental-ingest planning step (what must re-enter dedup/scoring?)
+    that beats re-processing 100 TB after a 0.1% delta.
+
+    Scale: each side reduces to ``(key, md5)`` BEFORE the full-outer join,
+    so the shuffle carries 8-byte keys + 32-byte hashes, never document
+    payloads; unchanged keys (the overwhelming majority) are filtered
+    immediately after the join, so downstream operators see only the delta.
+    """
+    o = old.select("doc_id", F.md5("text").alias("h_old"))
+    n = new.select("doc_id", F.md5("text").alias("h_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .where(F.col("status") != "unchanged")
+    )

@@ -208,3 +208,29 @@ def daily_summary(parsed: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def endpoint_method_rollup(parsed: DataFrame) -> DataFrame:
+    """Multi-granularity ROLLUP over the access rows: (endpoint, method),
+    (endpoint), and grand-total cells in ONE logical aggregate, tagged by
+    ``grouping_id`` — beyond the reference (SURVEY §2.4: it has no grouping
+    sets), this is the drill-down cube a dashboard reads without re-scanning
+    the corpus per level.
+
+    Scale: Spark lowers rollup to an Expand (3 rows per input row here)
+    feeding a single partial-aggregating exchange — the shuffle carries at
+    most 3x the distinct group cells, never 3x the corpus, because partial
+    aggregation collapses each level map-side. At very wide rollups prefer
+    re-aggregating coarser levels FROM the finest aggregate; at this width
+    Expand is the cheaper single-pass plan.
+    """
+    return (
+        access_rows(parsed)
+        .rollup("endpoint", "method")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.sum((F.col("status") >= 400).cast("long")).alias("n_errors"),
+            det_mean("response_time").alias("mean_time"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+    )

@@ -168,3 +168,41 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
         F.count("*").alias("n"),
         F.count_distinct("conv_id").alias("n_conversations"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Hot-key diagnostic: the per-key row-count distribution a 100 TB
+    intake inspects BEFORE choosing salt factors / bucket counts (the north
+    rule's "salting of hot conversations" needs the hot list first). Emits
+    the ``top_n`` heaviest keys with rank, count, share of all rows, and
+    the skew multiplier vs the mean key (``x_mean``).
+
+    Scale: one partial-agg shuffle keyed by ``key_col`` (counts only — the
+    payload never moves); the (total, n_keys) scalar frame is a 1-row
+    broadcast back onto the per-key counts; ranking top-n over the count
+    frame uses WindowGroupLimit so each partition forwards at most
+    ``top_n`` candidates to the final sort.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col(key_col))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_n)
+        .join(F.broadcast(totals))
+    )
+    return top.select(
+        "rank",
+        key_col,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        # n * n_keys / total: integer product in BIGINT (exact), one double
+        # division — identical expression tree on the oracle side
+        F.round(
+            (F.col("n_rows") * F.col("_n_keys")).cast("double") / F.col("_total"), 6
+        ).alias("x_mean"),
+        F.col("_total").alias("total_rows"),
+        F.col("_n_keys").alias("n_keys"),
+    ).orderBy("rank")

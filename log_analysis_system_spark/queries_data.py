@@ -201,6 +201,11 @@ def q_stratified_sample(spark, sf_dir):
     return dp.stratified_sample(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    old, new = dp.snapshot_versions(_docs(spark, sf_dir))
+    return dp.snapshot_diff(old, new).orderBy("doc_id")
+
+
 def q_embedding_quantization(spark, sf_dir):
     return dp.embedding_quantization(_emb(spark, sf_dir)).orderBy("vec_id")
 
@@ -265,6 +270,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "corpus_filter": q_corpus_filter,
     "stratified_sample": q_stratified_sample,
+    "snapshot_diff": q_snapshot_diff,
     "embedding_centroid_distance": q_embedding_centroid_distance,
     "embedding_quantization": q_embedding_quantization,
     "multimodal_features": q_multimodal_features,
@@ -750,6 +756,25 @@ WITH b AS (
 SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket,
        CAST(keep_pct AS INT) AS keep_pct
 FROM b WHERE bucket < keep_pct ORDER BY doc_id
+""",
+    "snapshot_diff": f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h_old FROM documents
+  WHERE doc_id % {dp.SNAP_ADD_MOD} <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {dp.SNAP_EDIT_MOD} = 0 THEN reverse(text)
+                  ELSE text END) AS h_new
+  FROM documents WHERE doc_id % {dp.SNAP_DROP_MOD} <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h_old <> n.h_new
+ORDER BY doc_id
 """,
     "embedding_centroid_distance": f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

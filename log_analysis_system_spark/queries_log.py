@@ -409,6 +409,16 @@ def q_salted_turn_counts(spark, sf_dir):
     return win.salted_turn_counts(load_transcripts(spark, sf_dir))
 
 
+def q_conv_skew_profile(spark, sf_dir):
+    return win.key_skew_profile(load_transcripts(spark, sf_dir), "conv_id")
+
+
+def q_endpoint_method_rollup(spark, sf_dir):
+    return _r6(
+        perf.endpoint_method_rollup(load_parsed(spark, sf_dir)), "mean_time"
+    ).orderBy("lvl", "endpoint", "method")
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over raw turn text: typed placeholders + match counts."""
     from .operators.datapipe import pii_redaction
@@ -773,6 +783,37 @@ FROM turns t LEFT JOIN alerts a USING (conv_id)""",
 SELECT conv_id, count(*) AS n_turns,
        CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
 FROM transcripts GROUP BY conv_id""",
+    "conv_skew_profile": P
+    + """
+, counts AS (
+  SELECT conv_id, count(*) AS n_rows FROM transcripts GROUP BY conv_id
+),
+totals AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         count(*) AS n_keys
+  FROM counts
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, conv_id) AS INT) AS rank,
+         conv_id, n_rows
+  FROM counts
+)
+SELECT rank, conv_id, n_rows,
+       round(CAST(n_rows AS DOUBLE) / total_rows, 6) AS share,
+       round(CAST(n_rows * n_keys AS DOUBLE) / total_rows, 6) AS x_mean,
+       total_rows, n_keys
+FROM ranked CROSS JOIN totals
+WHERE rank <= 10 ORDER BY rank""",
+    "endpoint_method_rollup": P
+    + f"""
+SELECT endpoint, method, count(*) AS n_requests,
+       CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       round(CAST(sum(CAST(response_time AS DECIMAL(18,3))) AS DOUBLE)
+             / count(response_time), 6) AS mean_time,
+       CAST(GROUPING(endpoint, method) AS INT) AS lvl
+FROM parsed WHERE {_ACCESS}
+GROUP BY ROLLUP(endpoint, method)
+ORDER BY lvl, endpoint, method""",
     "pii_redaction": P + _pii_oracle_sql(),
     "enriched_status_counts": P
     + f"""
@@ -820,6 +861,8 @@ QUERIES = {
     "turn_ordering_check": q_turn_ordering_check,
     "conversation_alert_rates": q_conversation_alert_rates,
     "salted_turn_counts": q_salted_turn_counts,
+    "conv_skew_profile": q_conv_skew_profile,
+    "endpoint_method_rollup": q_endpoint_method_rollup,
     "pii_redaction": q_pii_redaction,
     "enriched_status_counts": q_enriched_status_counts,
     "enriched_role_counts": q_enriched_role_counts,

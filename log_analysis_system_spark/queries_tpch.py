@@ -3,7 +3,8 @@ paired DuckDB oracle SQL — the multi-table star-join breadth check.
 
 Shapes (not copies — column subset differs from official TPC-H); later in
 the module: Q5 (6-table join chain), Q6 (pure pushdown reduction), Q18
-(aggregate-driven semi-join), Q14 (conditional-aggregation join):
+(aggregate-driven semi-join), Q14 (conditional-aggregation join), Q4
+(correlated-EXISTS semi-join):
 
 - ``pricing_summary`` (Q1 shape): the canonical scan-heavy grouped
   aggregate; all sums decimal-cast so partition order can't flip the
@@ -436,6 +437,71 @@ def q_tpch_promo_revenue(spark, sf_dir):
 
 
 QUERIES["tpch_promo_revenue"] = q_tpch_promo_revenue
+
+
+Q4_DATE_FROM = "1996-01-01"
+Q4_DATE_TO = "1996-04-01"
+Q4_SLOW_SHIP_DAYS = 75
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    slow_days: int = Q4_SLOW_SHIP_DAYS,
+) -> DataFrame:
+    """Q4 shape: correlated-EXISTS semi-join — count one quarter's orders
+    per priority that have at least one slow-shipped line (reference Q4's
+    ``l_commitdate < l_receiptdate`` adapted to this schema's columns:
+    ``l_shipdate > o_orderdate + slow_days``).
+
+    Scale path: the quarter filter pushes to the orders scan first, so the
+    semi-join probes with the reduced order set; LEFT SEMI stops at the
+    first matching line per order (no fact-side aggregation state at all,
+    unlike Q18's rollup-then-filter), and the correlated date predicate
+    rides the orderkey equi-join as a residual condition. The final
+    priority rollup is a <=5-cell partial agg.
+    """
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(Q4_DATE_FROM))
+        & (F.col("o_orderdate") < F.lit(Q4_DATE_TO))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    items = lineitem.select("l_orderkey", "l_shipdate")
+    slow = ords.join(
+        items,
+        (ords.o_orderkey == items.l_orderkey)
+        & (
+            items.l_shipdate
+            > ords.o_orderdate + F.expr(f"INTERVAL {slow_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        slow.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_order_priority(spark, sf_dir):
+    return order_priority_counts(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+QUERIES["tpch_order_priority"] = q_tpch_order_priority
+
+ORACLES["tpch_order_priority"] = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_DATE_TO} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_SLOW_SHIP_DAYS} DAYS)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
 ORACLES["tpch_promo_revenue"] = f"""
 SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'

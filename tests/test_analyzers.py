@@ -211,3 +211,26 @@ def test_suspicious_ip_broadcast_join(spark):
     assert e.ip_address == "45.33.10.20"
     assert e.endpoint == "/a"  # deterministic first by (conv_id, turn_idx)
     assert "(2 requests)" in e.description
+
+
+def test_endpoint_method_rollup_levels(parsed5):
+    got = perf.endpoint_method_rollup(parsed5).collect()
+    by_lvl = {}
+    for r in got:
+        by_lvl.setdefault(r["lvl"], []).append(r)
+    # finest level: 4 (endpoint, method) cells
+    fine = {(r["endpoint"], r["method"]): r for r in by_lvl[0]}
+    assert len(fine) == 4
+    assert fine[("/api/data", "GET")]["n_requests"] == 2
+    assert fine[("/api/data", "GET")]["n_errors"] == 1
+    assert fine[("/api/data", "POST")]["n_errors"] == 1
+    # endpoint subtotals: method IS NULL
+    sub = {r["endpoint"]: r for r in by_lvl[1]}
+    assert all(r["method"] is None for r in by_lvl[1])
+    assert sub["/api/data"]["n_requests"] == 3
+    assert sub["/api/data"]["n_errors"] == 2
+    # grand total reproduces the reference's 5-row goldens
+    (gt,) = by_lvl[3]
+    assert gt["endpoint"] is None and gt["method"] is None
+    assert gt["n_requests"] == 5 and gt["n_errors"] == 2
+    assert abs(gt["mean_time"] - 0.52) < 1e-9

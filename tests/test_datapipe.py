@@ -261,3 +261,38 @@ def test_embedding_quantization_error_bound_on_testdata(spark):
     assert len(rows) == vecs.shape[0]
     assert all(0.0 <= r["mse"] <= bound * bound * 1.000001 for r in rows)
     assert all(r["max_abs_err"] <= bound * 1.000001 for r in rows)
+
+
+# ------------------------------------------------------------ snapshot_diff
+def test_snapshot_diff_classifications(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "stay"),        # both snapshots, untouched -> absent
+            (5, "dropped"),     # new drops %5 -> removed
+            (7, "late"),        # old drops %7 -> added
+            (11, "edited"),     # %11 -> text reversed in new -> changed
+            (22, "aibohphobia"[:0] + "abba"),  # %11 but palindrome -> absent
+            (35, "gone-both"),  # %5 and %7: in neither diff side ambiguity:
+                                # old has it (35%7==0 -> dropped), new drops
+                                # it too -> absent entirely
+        ],
+        "doc_id long, text string",
+    )
+    old, new = dp.snapshot_versions(docs)
+    got = {r["doc_id"]: r["status"] for r in dp.snapshot_diff(old, new).collect()}
+    assert got == {5: "removed", 7: "added", 11: "changed"}
+
+
+def test_snapshot_diff_hash_only_shuffle(spark):
+    """Document text must not cross the shuffle: each full-outer-join side
+    reduces to a (doc_id, md5) projection BELOW its Exchange."""
+    import re as _re
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    old, new = dp.snapshot_versions(docs)
+    plan = dp.snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    hash_below_exchange = _re.findall(
+        r"Exchange hashpartitioning\(doc_id#\d+L.*\n\s*(?::\s*)?\+- Project \[doc_id#\d+L, md5",
+        plan,
+    )
+    assert len(hash_below_exchange) == 2, plan

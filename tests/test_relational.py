@@ -425,3 +425,53 @@ def test_role_transitions_hand_computed(spark):
     assert got[("assistant", "user")]["n"] == 1
     assert got[("assistant", "user")]["n_conversations"] == 1
     assert sum(r["n"] for r in got.values()) == len(rows)
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from log_analysis_system_spark.operators import windows as win
+
+    rows = (
+        [("hot", i, "user") for i in range(6)]
+        + [("a", i, "user") for i in range(2)]
+        + [("b", 0, "user"), ("c", 0, "user")]
+    )
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = win.key_skew_profile(t, "conv_id", top_n=3).collect()
+    assert [r["conv_id"] for r in got] == ["hot", "a", "b"]  # tie b<c on key
+    top = got[0]
+    assert (top["rank"], top["n_rows"], top["total_rows"], top["n_keys"]) == (
+        1, 6, 10, 4,
+    )
+    assert top["share"] == 0.6
+    assert top["x_mean"] == 2.4  # 6 / (10/4)
+    assert got[1]["x_mean"] == 0.8
+
+
+def test_tpch_order_priority_semi_join_semantics(spark):
+    from log_analysis_system_spark import queries_tpch as qt
+
+    orders = spark.createDataFrame(
+        [
+            # in-window, TWO slow lines -> still counted once (semi join)
+            (1, "1-URGENT", "1996-02-01 00:00:00"),
+            # in-window, only fast lines -> not counted
+            (2, "1-URGENT", "1996-02-01 00:00:00"),
+            # out of the quarter -> not counted even with a slow line
+            (3, "2-HIGH", "1996-06-01 00:00:00"),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    lineitem = spark.createDataFrame(
+        [
+            (1, "1996-05-01 00:00:00"),  # slow (89 days)
+            (1, "1996-06-01 00:00:00"),  # slow again
+            (2, "1996-02-10 00:00:00"),  # fast
+            (3, "1996-12-01 00:00:00"),  # slow but order out of window
+        ],
+        "l_orderkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in qt.order_priority_counts(orders, lineitem).collect()
+    }
+    assert got == {"1-URGENT": 1}
