@@ -80,11 +80,15 @@ def load_input(spark, path: str):
     # (helpers.py:95-119 glob + main.py:113-145 per-line read)
     if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.log")):
         return read_log_dir(spark, path)
-    # single raw log file (reference dashboard.py --logfile)
+    # single raw log file (reference dashboard.py --logfile) — sniff the
+    # parquet magic so a .pq/.parq transcripts file isn't ingested as text
     if os.path.isfile(path) and not path.endswith(".parquet"):
-        return read_log_dir(
-            spark, os.path.dirname(path) or ".", os.path.basename(path)
-        )
+        with open(path, "rb") as fh:
+            is_parquet = fh.read(4) == b"PAR1"
+        if not is_parquet:
+            return read_log_dir(
+                spark, os.path.dirname(path) or ".", os.path.basename(path)
+            )
     df = spark.read.parquet(path)
     missing = {"conv_id", "turn_idx", "text"} - set(df.columns)
     if missing:
@@ -97,7 +101,7 @@ def load_input(spark, path: str):
 def main(argv: list[str] | None = None) -> int:
     parser = build_arg_parser()
     args = parser.parse_args(argv)
-    if not args.input and not (args.report or args.analyze_only):
+    if not args.input and (args.corpus or not (args.report or args.analyze_only)):
         parser.error("--input is required unless --report/--analyze-only")
 
     from .config import DEFAULT_CONFIG, load_config

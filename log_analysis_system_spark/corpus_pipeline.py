@@ -28,19 +28,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import state as st
-from .functions.texthash import md5_hash60, tokens
+from .functions.texthash import tokens
 from .operators import dedup as dd
 from .operators.textstats import (
-    SPLIT_TRAIN_PCT,
-    SPLIT_VAL_PCT,
     language_exprs,
     language_pred_expr,
     quality_exprs,
     quality_keep_expr,
+    split_exprs,
 )
 from .sources import catalog
 
@@ -60,18 +59,28 @@ def _bucket(n_buckets: int):
     )
 
 
+def _write_counted(df: DataFrame, output_dir: str, name: str, **kw) -> int:
+    """Write with the row count observed INSIDE the write job — no separate
+    count pass over the sink (pipeline.py's ``_write_observed`` pattern,
+    generalized to partitioned/dynamic-overwrite writes)."""
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    catalog.write_table(df, output_dir, name, **kw)
+    return int(obs.get["n"])
+
+
 def score_projection(docs: DataFrame, n_buckets: int) -> DataFrame:
     """All row-local curation signals in ONE scan: the token array is
     materialized once per row and every signal family reads it (quality,
     language, split). No shuffle at all — the bucket column is a pure
     projection; the sink write repartitions by it."""
-    langs = [c for c in language_exprs(F.col("t"))]
     base = docs.select(
         "doc_id", "lang", "source", "text", tokens(F.col("text")).alias("t")
     )
     q = quality_exprs(F.col("t"))
     l_ = language_exprs(F.col("t"))
-    split_bucket = md5_hash60(F.col("doc_id").cast("string")) % 100
+    langs = list(l_)
+    _, split = split_exprs()
     scored = base.select(
         "doc_id",
         "lang",
@@ -80,10 +89,7 @@ def score_projection(docs: DataFrame, n_buckets: int) -> DataFrame:
         *(expr.alias(name) for name, expr in q.items()),
         F.length("text").alias("n_chars"),
         *(expr.alias(name) for name, expr in l_.items()),
-        F.when(split_bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(split_bucket < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split.alias("split"),
     )
     return scored.select(
         "doc_id",
@@ -134,6 +140,9 @@ def run_corpus_pipeline(
                 scored, output_dir, "doc_scores",
                 partition_cols=["bucket"], mode="overwrite_partitions",
             )
+            # per-bucket counts need a groupBy (Observation is single-row
+            # only); re-reading the pruned text-free sink is far cheaper
+            # than recomputing the tokenize projection a second time
             counts = st.bucket_counts(
                 catalog.read_table(spark, output_dir, "doc_scores").where(
                     F.col("bucket").isin(pending)
@@ -157,11 +166,10 @@ def run_corpus_pipeline(
         with st.StageTimer() as t:
             comp = dd.dedup_components(docs)
             comp = comp.withColumn("bucket", _bucket(n_buckets))
-            catalog.write_table(
+            n_comp = _write_counted(
                 comp, output_dir, "doc_components",
                 partition_cols=["bucket"], mode="overwrite_partitions",
             )
-            n_comp = catalog.read_table(spark, output_dir, "doc_components").count()
             result.sink_counts["doc_components"] = n_comp
         st.append_state(
             spark, output_dir,
@@ -186,12 +194,13 @@ def run_corpus_pipeline(
                 .alias("reason"),
             )
         )
-        catalog.write_table(
+        result.sink_counts["corpus_decisions"] = _write_counted(
             decisions, output_dir, "corpus_decisions",
             partition_cols=["bucket"], mode="overwrite_partitions",
         )
+        # mixture aggregates FROM the written sink (text-free, pruned) —
+        # cheaper than re-running the scores x components join
         dec = catalog.read_table(spark, output_dir, "corpus_decisions")
-        result.sink_counts["corpus_decisions"] = dec.count()
         mixture = (
             dec.where(F.col("kept"))
             .groupBy("source", "lang", "split")
@@ -200,10 +209,9 @@ def run_corpus_pipeline(
                 F.sum("n_tokens").alias("n_tokens"),
             )
         )
-        catalog.write_table(mixture, output_dir, "corpus_mixture", mode="overwrite")
-        result.sink_counts["corpus_mixture"] = catalog.read_table(
-            spark, output_dir, "corpus_mixture"
-        ).count()
+        result.sink_counts["corpus_mixture"] = _write_counted(
+            mixture, output_dir, "corpus_mixture", mode="overwrite"
+        )
     st.append_state(
         spark, output_dir,
         [(run_id, "corpus_finalize", -1,

@@ -177,7 +177,12 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [decode_image(p) for p in pdf["payload"]]
+            feats = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    feats.append(decode_image(p))
+                except ValueError as exc:
+                    raise ValueError(f"doc_id={did}: {exc}") from exc
             out = pd.DataFrame(feats, columns=_FEATURE_COLS)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             out.insert(1, "mime", [m["mime"] for m in pdf["meta"]])
@@ -248,6 +253,8 @@ def decode_audio(payload: bytes) -> dict:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated fmt chunk ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -260,6 +267,8 @@ def decode_audio(payload: bytes) -> dict:
             f"unsupported WAV (format={audio_format}, bits={bits}, "
             f"channels={channels}); only PCM16 mono is decoded here"
         )
+    if len(data) % 2:
+        raise ValueError(f"odd-length PCM16 data chunk ({len(data)} bytes)")
     a = np.frombuffer(data, dtype="<i2").astype(np.float64)
     if a.size == 0:
         raise ValueError("empty data chunk")
@@ -329,7 +338,12 @@ def extract_audio_features(multimodal: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [decode_audio(p) for p in pdf["payload"]]
+            feats = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    feats.append(decode_audio(p))
+                except ValueError as exc:
+                    raise ValueError(f"doc_id={did}: {exc}") from exc
             out = pd.DataFrame(feats, columns=_AUDIO_COLS)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             out.insert(1, "mime", [m["mime"] for m in pdf["meta"]])

@@ -411,6 +411,12 @@ def ivf_assignments(
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"IVF training sample has only {len(seeds)} vectors but k={k} "
+            f"inverted lists were requested — raise train_fraction "
+            f"(={train_fraction}) or lower k"
+        )
     centroids = [(i, list(r["v"])) for i, r in enumerate(seeds)]
 
     def assign(frame: DataFrame, cents) -> DataFrame:

@@ -140,6 +140,19 @@ SPLIT_VAL_PCT = 95  # [90, 95) val, [95, 100) test
 TFIDF_TOP_K = 5
 
 
+def split_exprs(doc_id_col=None):
+    """(bucket, split) assignment expressions — the ONE place the
+    train/val/test rule lives (used by ``dataset_split`` and the corpus
+    pipeline's score stage)."""
+    bucket = md5_hash60((doc_id_col or F.col("doc_id")).cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return bucket, split
+
+
 def dataset_split(docs: DataFrame) -> DataFrame:
     """Deterministic hash-based train/val/test assignment.
 
@@ -149,14 +162,11 @@ def dataset_split(docs: DataFrame) -> DataFrame:
     existing one between splits, unlike any sample()/shuffle split. The
     md5 prefix hash is computed identically by the DuckDB oracle.
     """
-    bucket = md5_hash60(F.col("doc_id").cast("string")) % 100
+    bucket, split = split_exprs()
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split.alias("split"),
     )
 
 

@@ -117,12 +117,13 @@ def render_report(spark: SparkSession, output_dir: str) -> str:
         ]))
 
         err = perf.overall_error_rate(parsed).collect()
-        if err:
+        # avg() over zero access rows is NULL — skip the line, don't crash
+        if err and err[0]["error_rate"] is not None:
             out.append(f"\nOverall Error Rate: {err[0]['error_rate']:.2%}")
 
     out.append(_section("SECURITY ANALYSIS"))
     sev_frames = [
-        df.withColumn("_sev", F.lit(sev))
+        df
         for sev in ("high", "medium", "low")
         for df in (read(f"security_events_{sev}"), read(f"security_events_agg_{sev}"))
         if df is not None

@@ -70,21 +70,27 @@ def streaming_route(
     parse_engine: str = "pandas",
 ):
     """Parse + enrich + per-row detectors on a stream; per-severity fan-out
-    via foreachBatch (reusing the batch writers => same table layout, same
-    idempotence). Returns the started StreamingQuery."""
+    via foreachBatch reusing the batch writers, with ``batch_id`` leading
+    the partition spec + dynamic overwrite so a replayed micro-batch
+    (foreachBatch is at-least-once) replaces rather than duplicates its
+    output. Returns the started StreamingQuery."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         enriched = enrich(parse_transcripts(batch_df, engine=parse_engine))
         enriched = enriched.withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
-        )
+        ).withColumn("batch_id", F.lit(batch_id))
         enriched.persist()
         try:
+            # foreachBatch is at-least-once: batch_id leads the partition
+            # spec and the write dynamic-overwrites, so a replayed batch
+            # replaces its own partitions instead of double-appending
             access = enriched.where(F.col("log_type") == "access").drop("ts")
             catalog.write_table(
                 access, output_dir, "parsed_turns",
-                partition_cols=["bucket"], mode="append",
+                partition_cols=["batch_id", "bucket"],
+                mode="overwrite_partitions",
             )
             events = sec.attack_events(enriched).unionByName(
                 sec.scan_events(enriched)
@@ -97,10 +103,11 @@ def streaming_route(
                 df = events.where(F.col("severity") == severity).withColumn(
                     "bucket",
                     F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
-                )
+                ).withColumn("batch_id", F.lit(batch_id))
                 catalog.write_table(
                     df, output_dir, name,
-                    partition_cols=["bucket"], mode="append",
+                    partition_cols=["batch_id", "bucket"],
+                    mode="overwrite_partitions",
                 )
         finally:
             enriched.unpersist()
@@ -294,6 +301,29 @@ def read_document_stream(
     )
 
 
+def dedup_batch_handler(corpus_docs: DataFrame, output_dir: str):
+    """The foreachBatch handler for streaming_incremental_dedup, exposed
+    so tests can replay a (batch_df, batch_id) pair directly. foreachBatch
+    is at-least-once: partitioning by batch_id + dynamic overwrite makes a
+    replayed batch (crash between sink write and checkpoint offset commit)
+    REPLACE its own partition instead of appending duplicate matches."""
+    from ..operators import dedup as dd
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        matches = dd.minhash_lsh_incremental(batch_df, corpus_docs)
+        catalog.write_table(
+            matches.withColumn("batch_id", F.lit(batch_id)),
+            output_dir,
+            "near_dup_matches",
+            partition_cols=["batch_id"],
+            mode="overwrite_partitions",
+        )
+
+    return handle
+
+
 def streaming_incremental_dedup(
     stream_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -314,18 +344,7 @@ def streaming_incremental_dedup(
     (asserted in tests/test_streaming_dedup.py). Returns the started
     StreamingQuery.
     """
-    from ..operators import dedup as dd
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        matches = dd.minhash_lsh_incremental(batch_df, corpus_docs)
-        catalog.write_table(
-            matches.withColumn("batch_id", F.lit(batch_id)),
-            output_dir,
-            "near_dup_matches",
-            mode="append",
-        )
+    handle = dedup_batch_handler(corpus_docs, output_dir)
 
     return (
         stream_docs.writeStream.foreachBatch(handle)

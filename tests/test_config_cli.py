@@ -173,3 +173,30 @@ def test_cli_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stderr[-4000:]
     summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary2["aggregate_ran"] and summary2["buckets_processed"] == 0
+
+
+def test_cli_corpus_requires_input():
+    from log_analysis_system_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--corpus", "--analyze-only", "--output", "/tmp/x"])
+    assert exc.value.code == 2  # argparse error, not a TypeError crash
+
+
+def test_load_input_sniffs_parquet_magic(spark, tmp_path):
+    """A parquet transcripts file without the .parquet suffix must be read
+    as parquet (PAR1 magic), not mis-ingested as raw log text."""
+    from log_analysis_system_spark.__main__ import load_input
+
+    rows = [("c0", 0, "user", "hello", None, "2024-01-01 00:00:00")]
+    make_transcripts(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "t")
+    )
+    part = next((tmp_path / "t").glob("part-*.parquet"))
+    renamed = tmp_path / "transcripts.pq"
+    part.rename(renamed)
+    df = load_input(spark, str(renamed))
+    got = df.select("conv_id", "turn_idx", "text").collect()
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [
+        ("c0", 0, "hello")
+    ]

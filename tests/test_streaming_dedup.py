@@ -61,3 +61,21 @@ def test_stream_restart_processes_nothing_new(spark, split_docs, tmp_path):
     ).awaitTermination()
     n2 = catalog.read_table(spark, out, "near_dup_matches").count()
     assert n1 == n2 > 0
+
+
+def test_replayed_batch_is_idempotent(spark, split_docs, tmp_path):
+    """foreachBatch delivers at-least-once: re-running the SAME
+    (batch_df, batch_id) — the crash-between-sink-write-and-offset-commit
+    case — must not duplicate matches (batch_id partition is overwritten)."""
+    _, corpus, new = split_docs
+    out = str(tmp_path / "out")
+    handle = sp.dedup_batch_handler(corpus, out)
+    handle(new, 0)
+    n_once = catalog.read_table(spark, out, "near_dup_matches").count()
+    assert n_once > 0
+    handle(new, 0)  # replay
+    assert catalog.read_table(spark, out, "near_dup_matches").count() == n_once
+    handle(new, 1)  # a genuinely new batch still appends
+    assert (
+        catalog.read_table(spark, out, "near_dup_matches").count() == 2 * n_once
+    )
