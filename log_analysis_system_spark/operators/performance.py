@@ -234,3 +234,39 @@ def endpoint_method_rollup(parsed: DataFrame) -> DataFrame:
             F.grouping_id().cast("int").alias("lvl"),
         )
     )
+
+
+STATUS_CLASSES = ["c2xx", "c3xx", "c4xx", "c5xx", "other"]
+
+
+def traffic_status_pivot(parsed: DataFrame) -> DataFrame:
+    """PIVOT: hour-of-day x status-class traffic matrix — the wide
+    dashboard layout (one row per hour, one column per class) the
+    reference renders by hand from separate counts.
+
+    Scale: an explicit pivot value list keeps this a SINGLE groupBy
+    aggregate (Spark lowers pivot-with-values to one PivotFirst agg — no
+    second pass to discover distinct values, which at 100 TB would be its
+    own corpus scan); the exchange carries 24 x |classes| cells. Absent
+    cells coalesce to 0 so the frame is dense.
+    """
+    klass = (
+        F.when(F.col("status").between(200, 299), "c2xx")
+        .when(F.col("status").between(300, 399), "c3xx")
+        .when(F.col("status").between(400, 499), "c4xx")
+        .when(F.col("status").between(500, 599), "c5xx")
+        .otherwise("other")
+    )
+    base = (
+        access_rows(parsed)
+        .where(F.col("ts_parsed").isNotNull())
+        .select(F.hour("ts_parsed").alias("hour"), klass.alias("klass"))
+    )
+    pivoted = base.groupBy("hour").pivot("klass", STATUS_CLASSES).count()
+    return pivoted.select(
+        "hour",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in STATUS_CLASSES
+        ],
+    ).orderBy("hour")

@@ -419,6 +419,10 @@ def q_endpoint_method_rollup(spark, sf_dir):
     ).orderBy("lvl", "endpoint", "method")
 
 
+def q_traffic_status_pivot(spark, sf_dir):
+    return perf.traffic_status_pivot(load_parsed(spark, sf_dir))
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over raw turn text: typed placeholders + match counts."""
     from .operators.datapipe import pii_redaction
@@ -814,6 +818,16 @@ SELECT endpoint, method, count(*) AS n_requests,
 FROM parsed WHERE {_ACCESS}
 GROUP BY ROLLUP(endpoint, method)
 ORDER BY lvl, endpoint, method""",
+    "traffic_status_pivot": P
+    + f"""
+SELECT CAST(hour(ts_parsed) AS INT) AS hour,
+       CAST(sum(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS BIGINT) AS c2xx,
+       CAST(sum(CASE WHEN status BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS BIGINT) AS c3xx,
+       CAST(sum(CASE WHEN status BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS BIGINT) AS c4xx,
+       CAST(sum(CASE WHEN status BETWEEN 500 AND 599 THEN 1 ELSE 0 END) AS BIGINT) AS c5xx,
+       CAST(sum(CASE WHEN status < 200 OR status >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS other
+FROM parsed WHERE {_ACCESS} AND ts_parsed IS NOT NULL
+GROUP BY 1 ORDER BY hour""",
     "pii_redaction": P + _pii_oracle_sql(),
     "enriched_status_counts": P
     + f"""
@@ -863,6 +877,7 @@ QUERIES = {
     "salted_turn_counts": q_salted_turn_counts,
     "conv_skew_profile": q_conv_skew_profile,
     "endpoint_method_rollup": q_endpoint_method_rollup,
+    "traffic_status_pivot": q_traffic_status_pivot,
     "pii_redaction": q_pii_redaction,
     "enriched_status_counts": q_enriched_status_counts,
     "enriched_role_counts": q_enriched_role_counts,

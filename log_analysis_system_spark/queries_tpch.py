@@ -515,3 +515,78 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_FROM} 00:00:00'
   AND l_shipdate <  TIMESTAMP '{Q14_DATE_TO} 00:00:00'
 """
+
+
+Q22_CUTOFF = "1999-01-01"
+
+
+def no_recent_order_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str = Q22_CUTOFF
+) -> DataFrame:
+    """Q22 shape: scalar-subquery threshold + LEFT ANTI join — the one
+    join polarity the other TPC-H shapes don't cover. Above-average-balance
+    customers with NO order since ``cutoff``, rolled up per nation
+    (official Q22's country-code prefix adapted to this schema's
+    c_nationkey; "no orders at all" adapted to "no recent order" because
+    the synthetic data gives every customer at least one order).
+
+    Scale path: the positive-balance average is a 1-row broadcast (the
+    allowlisted conditionless-join pattern); the anti join keys on custkey
+    with the date filter pushed to the orders scan BEFORE the join, so the
+    probe side is the reduced recent-order key set; the final rollup is a
+    |nations|-cell partial agg. The average follows the decimal discipline:
+    exact DECIMAL sum, ONE double division — both engines then compare
+    c_acctbal against the bit-identical threshold.
+    """
+    pos = customer.where(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")
+        ).alias("a")
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(cutoff)).select(
+        "o_custkey"
+    )
+    cand = customer.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("a")
+    )
+    silent = cand.join(
+        recent, cand.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        silent.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_tpch_no_recent_orders(spark, sf_dir):
+    return no_recent_order_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+QUERIES["tpch_no_recent_orders"] = q_tpch_no_recent_orders
+
+ORACLES["tpch_no_recent_orders"] = f"""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

@@ -234,3 +234,14 @@ def test_endpoint_method_rollup_levels(parsed5):
     assert gt["endpoint"] is None and gt["method"] is None
     assert gt["n_requests"] == 5 and gt["n_errors"] == 2
     assert abs(gt["mean_time"] - 0.52) < 1e-9
+
+
+def test_traffic_status_pivot_dense_matrix(parsed5):
+    got = perf.traffic_status_pivot(parsed5).collect()
+    by_hour = {r["hour"]: r for r in got}
+    # fixture hours 13 only; statuses 200x3, 404, 500
+    assert set(by_hour) == {13}
+    r = by_hour[13]
+    assert (r["c2xx"], r["c3xx"], r["c4xx"], r["c5xx"], r["other"]) == (
+        3, 0, 1, 1, 0,
+    )

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "embedding_quantization", # 1-row dim-range arrays broadcast into quantize
     "value_histogram",        # 1-row global-range frame broadcast into binning
     "conv_skew_profile",      # 1-row (total, n_keys) frame broadcast onto top-n
+    "tpch_no_recent_orders",  # 1-row avg-balance scalar broadcast (Q22 shape)
     "knn_label_agreement",    # exact neighbor source at test scale (broadcast
                               # query set x corpus); ANN neighbor frame at scale
     # invariant-check wrappers: 1-row verdict aggregates joined conditionless

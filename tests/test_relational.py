@@ -475,3 +475,30 @@ def test_tpch_order_priority_semi_join_semantics(spark):
         for r in qt.order_priority_counts(orders, lineitem).collect()
     }
     assert got == {"1-URGENT": 1}
+
+
+def test_tpch_no_recent_orders_anti_join_semantics(spark):
+    from log_analysis_system_spark import queries_tpch as qt
+
+    customer = spark.createDataFrame(
+        [
+            (1, 5, 100.0),   # above avg, no recent order -> counted
+            (2, 5, 100.0),   # above avg, HAS recent order -> excluded
+            (3, 5, 10.0),    # below avg -> excluded
+            (4, 6, -50.0),   # negative: excluded from avg AND below it
+        ],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [
+            (2, "1999-06-01 00:00:00"),   # recent
+            (1, "1997-01-01 00:00:00"),   # old -> does not disqualify
+        ],
+        "o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    got = qt.no_recent_order_customers(customer, orders).collect()
+    # avg positive balance = (100+100+10)/3 = 70 -> only custkeys 1 and 2
+    # qualify on balance; 2 is anti-joined away by its recent order
+    assert [(r["c_nationkey"], r["numcust"], r["totacctbal"]) for r in got] == [
+        (5, 1, 100.0)
+    ]
