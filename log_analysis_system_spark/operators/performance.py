@@ -270,3 +270,38 @@ def traffic_status_pivot(parsed: DataFrame) -> DataFrame:
             for c in STATUS_CLASSES
         ],
     ).orderBy("hour")
+
+
+SLOW_IP_THRESHOLD_SEC = 1.0
+
+
+def ip_overlap_sets(parsed: DataFrame) -> DataFrame:
+    """Set-operation triage (INTERSECT / EXCEPT — the §2.6 op class the
+    reference lacks): partition the IPs seen erroring (status >= 400) and
+    the IPs seen slow (response_time > threshold) into both / error-only /
+    slow-only, with member counts.
+
+    Scale: Spark plans Intersect as a LEFT SEMI and Except as a LEFT ANTI
+    hash join over map-side-distinct inputs, so the shuffle carries each
+    set's distinct keys once; the three labeled branches reduce to 1-row
+    counts before the final 3-row union.
+    """
+    acc = access_rows(parsed)
+    error_ips = acc.where(F.col("status") >= 400).select("ip_address").distinct()
+    slow_ips = (
+        acc.where(F.col("response_time") > SLOW_IP_THRESHOLD_SEC)
+        .select("ip_address")
+        .distinct()
+    )
+
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("ip_class"), F.count("*").alias("n_ips")
+        )
+
+    return (
+        _count(error_ips.intersect(slow_ips), "both")
+        .unionByName(_count(error_ips.exceptAll(slow_ips), "error_only"))
+        .unionByName(_count(slow_ips.exceptAll(error_ips), "slow_only"))
+        .orderBy("ip_class")
+    )

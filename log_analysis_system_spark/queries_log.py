@@ -423,6 +423,10 @@ def q_traffic_status_pivot(spark, sf_dir):
     return perf.traffic_status_pivot(load_parsed(spark, sf_dir))
 
 
+def q_ip_overlap_sets(spark, sf_dir):
+    return perf.ip_overlap_sets(load_parsed(spark, sf_dir))
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over raw turn text: typed placeholders + match counts."""
     from .operators.datapipe import pii_redaction
@@ -828,6 +832,24 @@ SELECT CAST(hour(ts_parsed) AS INT) AS hour,
        CAST(sum(CASE WHEN status < 200 OR status >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS other
 FROM parsed WHERE {_ACCESS} AND ts_parsed IS NOT NULL
 GROUP BY 1 ORDER BY hour""",
+    "ip_overlap_sets": P
+    + f"""
+, error_ips AS (
+  SELECT DISTINCT ip_address FROM parsed WHERE {_ACCESS} AND status >= 400
+),
+slow_ips AS (
+  SELECT DISTINCT ip_address FROM parsed
+  WHERE {_ACCESS} AND response_time > 1.0
+)
+SELECT 'both' AS ip_class, count(*) AS n_ips
+FROM (SELECT * FROM error_ips INTERSECT SELECT * FROM slow_ips)
+UNION ALL
+SELECT 'error_only', count(*)
+FROM (SELECT * FROM error_ips EXCEPT SELECT * FROM slow_ips)
+UNION ALL
+SELECT 'slow_only', count(*)
+FROM (SELECT * FROM slow_ips EXCEPT SELECT * FROM error_ips)
+ORDER BY ip_class""",
     "pii_redaction": P + _pii_oracle_sql(),
     "enriched_status_counts": P
     + f"""
@@ -878,6 +900,7 @@ QUERIES = {
     "conv_skew_profile": q_conv_skew_profile,
     "endpoint_method_rollup": q_endpoint_method_rollup,
     "traffic_status_pivot": q_traffic_status_pivot,
+    "ip_overlap_sets": q_ip_overlap_sets,
     "pii_redaction": q_pii_redaction,
     "enriched_status_counts": q_enriched_status_counts,
     "enriched_role_counts": q_enriched_role_counts,

@@ -245,3 +245,10 @@ def test_traffic_status_pivot_dense_matrix(parsed5):
     assert (r["c2xx"], r["c3xx"], r["c4xx"], r["c5xx"], r["other"]) == (
         3, 0, 1, 1, 0,
     )
+
+
+def test_ip_overlap_sets_partition(parsed5):
+    # fixture: errors from .4 (500, rt 1.2) and .5 (404, rt 0.3);
+    # slow (>1.0s) only .4 -> both={.4}, error_only={.5}, slow_only={}
+    got = {r["ip_class"]: r["n_ips"] for r in perf.ip_overlap_sets(parsed5).collect()}
+    assert got == {"both": 1, "error_only": 1, "slow_only": 0}
