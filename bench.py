@@ -55,6 +55,9 @@ DATA_HEADLINE = [
     "decontamination",
     "boilerplate_shares",
     "tpch_forecast_revenue",
+    "conv_skew_profile",
+    "snapshot_diff",
+    "tpch_order_priority",
 ]
 
 
