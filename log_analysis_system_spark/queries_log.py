@@ -427,6 +427,10 @@ def q_ip_overlap_sets(spark, sf_dir):
     return perf.ip_overlap_sets(load_parsed(spark, sf_dir))
 
 
+def q_traffic_sliding(spark, sf_dir):
+    return perf.traffic_sliding(load_parsed(spark, sf_dir))
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over raw turn text: typed placeholders + match counts."""
     from .operators.datapipe import pii_redaction
@@ -850,6 +854,15 @@ UNION ALL
 SELECT 'slow_only', count(*)
 FROM (SELECT * FROM slow_ips EXCEPT SELECT * FROM error_ips)
 ORDER BY ip_class""",
+    # sliding windows: every ts lands in exactly duration/slide = 4
+    # epoch-aligned windows — starts (floor(epoch/900) - k) * 900, k in 0..3
+    "traffic_sliding": P
+    + f"""
+SELECT ((epoch(ts_parsed)::BIGINT // 900) - k.k) * 900 AS window_start,
+       count(*) AS n_requests
+FROM parsed CROSS JOIN (SELECT unnest(range(4)) AS k) k
+WHERE {_ACCESS} AND ts_parsed IS NOT NULL
+GROUP BY 1 ORDER BY window_start""",
     "pii_redaction": P + _pii_oracle_sql(),
     "enriched_status_counts": P
     + f"""
@@ -901,6 +914,7 @@ QUERIES = {
     "endpoint_method_rollup": q_endpoint_method_rollup,
     "traffic_status_pivot": q_traffic_status_pivot,
     "ip_overlap_sets": q_ip_overlap_sets,
+    "traffic_sliding": q_traffic_sliding,
     "pii_redaction": q_pii_redaction,
     "enriched_status_counts": q_enriched_status_counts,
     "enriched_role_counts": q_enriched_role_counts,

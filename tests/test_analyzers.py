@@ -252,3 +252,14 @@ def test_ip_overlap_sets_partition(parsed5):
     # slow (>1.0s) only .4 -> both={.4}, error_only={.5}, slow_only={}
     got = {r["ip_class"]: r["n_ips"] for r in perf.ip_overlap_sets(parsed5).collect()}
     assert got == {"both": 1, "error_only": 1, "slow_only": 0}
+
+
+def test_traffic_sliding_four_windows_per_row(parsed5):
+    # all 5 fixture rows sit inside one 5-minute span (13:55-13:59), so
+    # they share the same 4 sliding windows (1h window, 15min slide)
+    got = perf.traffic_sliding(parsed5).collect()
+    assert len(got) == 4
+    starts = [r["window_start"] for r in got]
+    assert all(s % 900 == 0 for s in starts)
+    assert [s2 - s1 for s1, s2 in zip(starts, starts[1:])] == [900, 900, 900]
+    assert all(r["n_requests"] == 5 for r in got)
