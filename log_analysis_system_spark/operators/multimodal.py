@@ -350,3 +350,136 @@ def extract_audio_features(multimodal: DataFrame) -> DataFrame:
             yield out
 
     return multimodal.mapInPandas(run, AUDIO_SCHEMA)
+
+
+# -------------------------------------------------------------- video stub
+# 'VID0' is a SYNTHETIC uncompressed container (magic + <HHHH w h n_frames
+# fps> + raw RGB frames) standing in for a real codec — no ffmpeg/image
+# libs exist in this environment (the brief's documented stub-decode seam).
+# Everything AROUND the codec is the real shape a video stage has: binary
+# payloads streaming executor-side in Arrow batches, header parse, strided
+# frame sampling, per-channel statistics.
+VIDEO_MAGIC = b"VID0"
+VIDEO_FPS = 10
+VIDEO_FRAME_STRIDE = 2
+
+
+def make_video(doc_id: int) -> bytes:
+    """Deterministic tiny clip for doc_id: width 2+id%2, height 2,
+    4+id%3 frames at 10 fps; frame f pixel i = (id*17 + f*7 + i) % 256.
+    Mirrors the analytic oracle SQL."""
+    import struct
+
+    w, h, nf = 2 + doc_id % 2, 2, 4 + doc_id % 3
+    header = VIDEO_MAGIC + struct.pack("<HHHH", w, h, nf, VIDEO_FPS)
+    frames = bytes(
+        (doc_id * 17 + f * 7 + i) % 256
+        for f in range(nf)
+        for i in range(w * h * 3)
+    )
+    return header + frames
+
+
+def decode_video(payload: bytes, stride: int = VIDEO_FRAME_STRIDE) -> dict:
+    """Frame-sample one clip: parse the container header, walk every
+    ``stride``-th frame, emit per-channel means over the sampled frames.
+    Raises ValueError (typed contract) on malformed payloads."""
+    import struct
+
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID0 payload")
+    w, h, nf, fps = struct.unpack_from("<HHHH", payload, 4)
+    frame_len = w * h * 3
+    if len(payload) != 12 + nf * frame_len:
+        raise ValueError(
+            f"VID0 length mismatch: header says {nf}x{frame_len}B frames, "
+            f"payload has {len(payload) - 12}B"
+        )
+    body = np.frombuffer(payload, dtype=np.uint8, offset=12).astype(np.float64)
+    frames = body.reshape(nf, h, w, 3)
+    sampled = frames[::stride]
+    means = sampled.reshape(-1, 3).mean(axis=0)
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "n_frames": nf,
+        "fps": fps,
+        "duration_sec": nf / fps,
+        "n_sampled": int(sampled.shape[0]),
+        "mean_c0": float(means[0]),
+        "mean_c1": float(means[1]),
+        "mean_c2": float(means[2]),
+    }
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("mean_c0", DoubleType()),
+        StructField("mean_c1", DoubleType()),
+        StructField("mean_c2", DoubleType()),
+    ]
+)
+
+_VIDEO_COLS = [f.name for f in VIDEO_SCHEMA.fields[2:]]
+
+
+def attach_video_payload(docs: DataFrame) -> DataFrame:
+    """Synthetic-video ingest: a deterministic VID0 clip per doc_id,
+    generated executor-side in Arrow batches (bytes never transit the
+    driver) — the video sibling of attach_ppm_payload/attach_wav_payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make_video(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    raw = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    return raw.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/x-synthetic").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.lit("synthetic").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def extract_video_features(multimodal: DataFrame) -> DataFrame:
+    """Arrow-batched strided frame sampling over binary clips — same batch
+    shape as the image/audio extractors; a real decoder drops into
+    ``decode_video``'s seam unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    feats.append(decode_video(p))
+                except ValueError as exc:
+                    raise ValueError(f"doc_id={did}: {exc}") from exc
+            out = pd.DataFrame(feats, columns=_VIDEO_COLS)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            out.insert(1, "mime", [m["mime"] for m in pdf["meta"]])
+            yield out
+
+    return multimodal.mapInPandas(run, VIDEO_SCHEMA).orderBy("doc_id")

@@ -238,6 +238,17 @@ def q_multimodal_audio_features(spark, sf_dir):
     return df.orderBy("doc_id")
 
 
+def q_multimodal_video_features(spark, sf_dir):
+    """Strided frame sampling over the synthetic VID0 clips (the stub
+    container documented in operators/multimodal.py; plumbing + sampling
+    are the real shape) — per-channel means over every 2nd frame, checked
+    against an analytic oracle."""
+    df = mm.extract_video_features(mm.attach_video_payload(_docs(spark, sf_dir)))
+    for c in ("duration_sec", "mean_c0", "mean_c1", "mean_c2"):
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df.orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -276,6 +287,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_video_features": q_multimodal_video_features,
 }
 
 
@@ -586,6 +598,35 @@ SELECT doc_id,
        CAST(max(w) AS INT) AS width,
        CAST(max(h) AS INT) AS height,
        CAST(3 AS INT) AS channels,
+       round(avg(v) FILTER (c = 0), 6) AS mean_c0,
+       round(avg(v) FILTER (c = 1), 6) AS mean_c1,
+       round(avg(v) FILTER (c = 2), 6) AS mean_c2
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+    # sampled frames f in {0, 2, 4}: stride 2 over nf in [4, 6];
+    # n_sampled = (nf + 1) // 2; pixel (f, i) = (id*17 + f*7 + i) % 256
+    "multimodal_video_features": """
+WITH dims AS (
+  SELECT doc_id, 2 + doc_id % 2 AS w, 2 AS h, 4 + doc_id % 3 AS nf
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nf, f.f, i.i,
+         (doc_id * 17 + f.f * 7 + i.i) % 256 AS v, i.i % 3 AS c
+  FROM dims
+  CROSS JOIN range(0, 6) f(f)
+  CROSS JOIN range(0, 18) i(i)
+  WHERE f.f < nf AND f.f % 2 = 0 AND i.i < w * h * 3
+)
+SELECT doc_id,
+       'video/x-synthetic' AS mime,
+       CAST(12 + max(nf) * max(w) * max(h) * 3 AS INT) AS n_bytes,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(max(nf) AS INT) AS n_frames,
+       CAST(10 AS INT) AS fps,
+       round(max(nf) / 10.0, 6) AS duration_sec,
+       CAST((max(nf) + 1) // 2 AS INT) AS n_sampled,
        round(avg(v) FILTER (c = 0), 6) AS mean_c0,
        round(avg(v) FILTER (c = 1), 6) AS mean_c1,
        round(avg(v) FILTER (c = 2), 6) AS mean_c2

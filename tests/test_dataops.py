@@ -601,3 +601,29 @@ def test_audio_features_on_testdata(spark):
     assert len(rows) == docs.count()
     assert all(r["peak"] <= 1000 and r["rms"] <= r["peak"] for r in rows)
     assert all(r["n_bytes"] == 44 + 2 * r["n_samples"] for r in rows)
+
+
+def test_video_decode_known_values():
+    """decode_video parses make_video output; hand-check doc_id=0:
+    w=2, h=2, nf=4, sampled frames {0, 2}, pixel (f,i) = (f*7 + i) % 256."""
+    out = mm.decode_video(mm.make_video(0))
+    assert (out["width"], out["height"], out["n_frames"], out["fps"]) == (
+        2, 2, 4, 10,
+    )
+    assert out["duration_sec"] == 0.4
+    assert out["n_sampled"] == 2
+    # sampled pixels: f=0 -> 0..11; f=2 -> 14..25; channel c holds
+    # values {c, c+3, c+6, c+9} + {c+14, ...} -> mean = (4.5 + 18.5)/2 + c
+    assert out["mean_c0"] == 11.5
+    assert out["mean_c1"] == 12.5
+    assert out["mean_c2"] == 13.5
+
+
+def test_video_decode_typed_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a VID0"):
+        mm.decode_video(b"AVI wannabe")
+    truncated = mm.make_video(3)[:-1]
+    with _pytest.raises(ValueError, match="length mismatch"):
+        mm.decode_video(truncated)
