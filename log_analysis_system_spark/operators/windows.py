@@ -206,3 +206,37 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         F.col("_total").alias("total_rows"),
         F.col("_n_keys").alias("n_keys"),
     ).orderBy("rank")
+
+
+def salted_dim_join(
+    transcripts: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-defused JOIN (the second half of the north rule's hot-conv
+    salting — ``salted_turn_counts`` covers aggregation): join every turn
+    to its conversation-level rollup without letting one hot conversation
+    pin a single reducer.
+
+    Mechanics: the fact side salts deterministically on ``turn_idx``
+    (pmod(xxhash64) — no rand(), so re-runs are identical); the dim side
+    EXPLODES into ``salt_buckets`` replicas; the join keys on
+    (conv_id, salt), so a conversation with 10^9 turns spreads over
+    ``salt_buckets`` reducers instead of one. Dim replication costs
+    |dim| x buckets rows — the technique for dims too big to broadcast
+    but far smaller than the fact. Output verifies itself: n_joined per
+    conversation must equal the dim's own n_turns.
+    """
+    dim = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    salted_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    fact = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)).alias("_salt"),
+    )
+    joined = fact.join(salted_dim, ["conv_id", "_salt"])
+    return joined.groupBy("conv_id").agg(
+        F.count("*").alias("n_joined"),
+        F.min("n_turns").alias("n_turns"),
+    )

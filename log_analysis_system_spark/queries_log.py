@@ -413,6 +413,10 @@ def q_conv_skew_profile(spark, sf_dir):
     return win.key_skew_profile(load_transcripts(spark, sf_dir), "conv_id")
 
 
+def q_salted_dim_join(spark, sf_dir):
+    return win.salted_dim_join(load_transcripts(spark, sf_dir))
+
+
 def q_endpoint_method_rollup(spark, sf_dir):
     return _r6(
         perf.endpoint_method_rollup(load_parsed(spark, sf_dir)), "mean_time"
@@ -795,6 +799,12 @@ FROM turns t LEFT JOIN alerts a USING (conv_id)""",
 SELECT conv_id, count(*) AS n_turns,
        CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
 FROM transcripts GROUP BY conv_id""",
+    # the salted (conv_id, salt) join must reproduce the plain per-conv
+    # join: n_joined == n_turns == the unsalted rollup
+    "salted_dim_join": P
+    + """
+SELECT conv_id, count(*) AS n_joined, count(*) AS n_turns
+FROM transcripts GROUP BY conv_id""",
     "conv_skew_profile": P
     + """
 , counts AS (
@@ -910,6 +920,7 @@ QUERIES = {
     "turn_ordering_check": q_turn_ordering_check,
     "conversation_alert_rates": q_conversation_alert_rates,
     "salted_turn_counts": q_salted_turn_counts,
+    "salted_dim_join": q_salted_dim_join,
     "conv_skew_profile": q_conv_skew_profile,
     "endpoint_method_rollup": q_endpoint_method_rollup,
     "traffic_status_pivot": q_traffic_status_pivot,

@@ -502,3 +502,23 @@ def test_tpch_no_recent_orders_anti_join_semantics(spark):
     assert [(r["c_nationkey"], r["numcust"], r["totacctbal"]) for r in got] == [
         (5, 1, 100.0)
     ]
+
+
+def test_salted_dim_join_equals_plain_rollup_and_salts_the_key(spark):
+    from log_analysis_system_spark.operators import windows as win
+
+    rows = [("hot", i, "user") for i in range(50)] + [
+        ("tiny", 0, "user"), ("tiny", 1, "assistant"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = win.salted_dim_join(t, salt_buckets=4)
+    got = {r["conv_id"]: (r["n_joined"], r["n_turns"]) for r in out.collect()}
+    assert got == {"hot": (50, 50), "tiny": (2, 2)}
+    # the join must key on (conv_id, _salt) — a plain conv_id-only join
+    # would put the hot conversation on one reducer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_line = next(
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "conv_id" in ln
+    )
+    assert "_salt" in join_line, join_line
