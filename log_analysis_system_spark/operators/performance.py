@@ -244,11 +244,13 @@ def traffic_status_pivot(parsed: DataFrame) -> DataFrame:
     dashboard layout (one row per hour, one column per class) the
     reference renders by hand from separate counts.
 
-    Scale: an explicit pivot value list keeps this a SINGLE groupBy
-    aggregate (Spark lowers pivot-with-values to one PivotFirst agg — no
-    second pass to discover distinct values, which at 100 TB would be its
-    own corpus scan); the exchange carries 24 x |classes| cells. Absent
-    cells coalesce to 0 so the frame is dense.
+    Scale: the explicit pivot value list avoids the distinct-value
+    discovery pass (at 100 TB that would be its own corpus scan). Spark
+    lowers pivot to two agg phases — (hour, klass) counts, then a
+    PivotFirst rollup to (hour) — so there are two exchanges, but BOTH
+    carry only aggregated cells (<= 24 x |classes| rows), never the
+    corpus; the first phase partial-aggregates map-side. Absent cells
+    coalesce to 0 so the frame is dense.
     """
     klass = (
         F.when(F.col("status").between(200, 299), "c2xx")

@@ -428,7 +428,15 @@ def q_traffic_status_pivot(spark, sf_dir):
 
 
 def q_ip_overlap_sets(spark, sf_dir):
-    return perf.ip_overlap_sets(load_parsed(spark, sf_dir))
+    # six set-op branches (2 sides x 3 labels) — pruned lazy checkpoint so
+    # the parse cascade runs once, not per branch (same policy as
+    # _detector_input)
+    pruned = (
+        load_parsed(spark, sf_dir)
+        .select("log_type", "ip_address", "status", "response_time")
+        .localCheckpoint(eager=False)
+    )
+    return perf.ip_overlap_sets(pruned)
 
 
 def q_traffic_sliding(spark, sf_dir):

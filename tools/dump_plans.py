@@ -67,8 +67,16 @@ SHOW = [
      "probe lineitem; correlated date predicate rides the equi-join"),
     ("tpch_no_recent_orders", "Q22 shape: 1-row avg-balance broadcast + "
      "LEFT ANTI join against the date-filtered recent-order key set"),
-    ("traffic_status_pivot", "PIVOT with explicit values: one PivotFirst "
-     "aggregate, no distinct-value discovery pass"),
+    ("traffic_status_pivot", "PIVOT with explicit values: no distinct-value "
+     "discovery pass; both agg exchanges carry only cells"),
+    ("ip_overlap_sets", "INTERSECT -> LEFT SEMI / EXCEPT -> LEFT ANTI over "
+     "map-side-distinct inputs behind one pruned parse checkpoint"),
+    ("traffic_sliding", "sliding windows: constant x4 expansion before the "
+     "partial agg (not a self-join)"),
+    ("salted_dim_join", "skew-defused join: (conv_id, _salt) composite key, "
+     "dim exploded x buckets"),
+    ("multimodal_video_features", "Arrow-batched strided frame sampling "
+     "over binary clips"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
