@@ -590,3 +590,67 @@ WHERE c_acctbal > a
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = Q13_EXCLUDE_PRIORITY
+) -> DataFrame:
+    """Q13 shape: LEFT OUTER join + two-level aggregation — the
+    distribution of per-customer order counts INCLUDING zero-order
+    customers, the one aggregation topology (outer join feeding a
+    second groupBy) the other TPC-H shapes don't cover. Official Q13's
+    ``o_comment NOT LIKE '%special%requests%'`` filter is adapted to
+    this schema as an o_orderpriority exclusion — same selectivity role,
+    same plan shape.
+
+    Scale path: orders are aggregated to (custkey, cnt) FIRST, so the
+    outer join's right side carries |distinct custkeys| rows, not
+    |orders| — the partial agg runs map-side before its shuffle and the
+    join shuffles two custkey-sized sides instead of the fact table.
+    The second groupBy is over |distinct counts| cells (tiny, bounded by
+    max orders per customer). Counting on a non-null right-side column
+    after the outer join is what turns "no orders" into c_count = 0
+    without a correlated subquery.
+    """
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    counted = (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counted.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_customer_distribution(spark, sf_dir):
+    return customer_order_distribution(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+QUERIES["tpch_customer_distribution"] = q_tpch_customer_distribution
+
+ORACLES["tpch_customer_distribution"] = f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY c.c_custkey
+) counts
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
