@@ -405,3 +405,50 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         j.select("doc_id", status.alias("status"))
         .where(F.col("status") != "unchanged")
     )
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between adjacent chunks
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """RAG-style document chunking: split each document into
+    ``chunk_size``-token windows every ``stride`` tokens (so adjacent
+    chunks overlap by ``chunk_size - stride``), emitting one row per
+    chunk with its 0-based ``chunk_idx``, re-joined text, and exact token
+    count (the trailing chunk may be short).
+
+    Covers the reference's per-line record explosion pattern
+    (``main.py:113-145`` turns one file into many rows) re-expressed for
+    corpus prep: one document -> many retrieval units.
+
+    Scale shape: pure projection + generator — tokenize once per document,
+    ``posexplode`` over the (1, 1+stride, 1+2*stride, ...) start sequence,
+    and ``slice`` each chunk out of the SAME materialized token array.
+    Zero shuffle, zero UDFs, embarrassingly parallel; output fan-out is
+    ~n_tokens/stride rows per document, each bounded by ``chunk_size``
+    tokens, so no task ever holds more than one document's array. The
+    start sequence is capped by ``greatest(size, 1)`` so even an
+    empty-text doc ('' splits to one empty token in both engines) emits
+    exactly one chunk row rather than vanishing.
+    """
+    if not (0 < stride <= chunk_size):
+        raise ValueError(f"need 0 < stride <= chunk_size, got {stride}/{chunk_size}")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_size)
+    return (
+        base.select(
+            "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )

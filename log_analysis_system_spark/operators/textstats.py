@@ -435,3 +435,42 @@ def boilerplate_shares(
         .otherwise(F.lit(0.0))
         .alias("boilerplate_share"),
     )
+
+
+TEMP_SCALE_BITS = 9  # fixed-point digits for the cross-engine sqrt weight
+
+
+def temperature_mixture(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled sampling weights per (source, lang) cell —
+    the multilingual-rebalancing step (T=2, i.e. p^(1/2)) applied to the
+    corpus mixture: low-resource slices are upsampled toward parity,
+    ``temp_weight_i = sqrt(p_i) / sum_j sqrt(p_j)`` where ``p_i`` is the
+    cell's exact token share.
+
+    Cross-engine float discipline (the pitfall rule from FIXTURES.md):
+    ``sqrt``/``/`` are IEEE correctly-rounded, so each cell's
+    ``sqrt(n_tokens/total)`` is bit-identical in Spark and DuckDB — but a
+    SUM of such doubles is order-dependent, so the normalizing sum is
+    taken over ``floor(1e9 * sqrt(p_i))`` fixed-point BIGINTs (exact,
+    associative), and only the final per-row division returns to double.
+
+    Scale: one partial-aggregating shuffle to the (source, lang) grain;
+    every window below it runs on the few-row aggregate, not the corpus.
+    """
+    agg = docs.groupBy("source", "lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")
+    )
+    total = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(total)
+    fx = F.floor(F.sqrt(p) * F.lit(10**TEMP_SCALE_BITS)).cast("bigint")
+    scaled = agg.select("source", "lang", "n_tokens", fx.alias("w_fx"))
+    share = F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+    weight = F.round(F.col("w_fx") / F.sum("w_fx").over(total), 6)
+    return scaled.select(
+        "source",
+        "lang",
+        "n_tokens",
+        share.alias("token_share"),
+        weight.alias("temp_weight"),
+        F.round(weight / share, 4).alias("upsample_factor"),
+    )

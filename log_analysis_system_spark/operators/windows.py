@@ -240,3 +240,45 @@ def salted_dim_join(
         F.count("*").alias("n_joined"),
         F.min("n_turns").alias("n_turns"),
     )
+
+
+CONTEXT_TURNS = 3  # preceding turns assembled per training example
+
+
+def conversation_context(
+    transcripts: DataFrame, n_context: int = CONTEXT_TURNS
+) -> DataFrame:
+    """Training-example assembly: for every turn, gather the previous
+    ``n_context`` turns of the same conversation into one
+    ``role: text``-formatted context block (newline-joined, oldest
+    first) — the (context, target) pair construction step for
+    instruction-tuning data built from agent transcripts.
+
+    The first turn of a conversation has no context -> NULL (both
+    engines agree: an empty window frame aggregates to NULL).
+
+    Scale shape: ONE shuffle on conv_id, then a rows-bounded window
+    frame (BETWEEN n PRECEDING AND 1 PRECEDING) — per-row state is
+    bounded by ``n_context`` lines x turn length, never by conversation
+    length, so a 10^9-turn hot conversation streams through the frame
+    without accumulating it. collect_list over a *bounded* frame is the
+    allowlisted exception to the no-per-group-arrays rule
+    (test_plans.py): the array is O(n_context), not O(group).
+    """
+    line = F.concat_ws(": ", "role", "text")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-n_context, -1)
+    )
+    ctx_lines = F.collect_list(line).over(w)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.when(
+            F.size(ctx_lines) > 0, F.array_join(ctx_lines, "\n")
+        ).alias("context"),
+        F.size(ctx_lines).cast("int").alias("n_context_turns"),
+    )

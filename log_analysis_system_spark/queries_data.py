@@ -189,6 +189,14 @@ def q_sequence_pack(spark, sf_dir):
     return dp.sequence_pack(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_doc_chunks(spark, sf_dir):
+    return dp.chunk_documents(_docs(spark, sf_dir)).orderBy("doc_id", "chunk_idx")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    return ts.temperature_mixture(_docs(spark, sf_dir)).orderBy("source", "lang")
+
+
 def q_embedding_centroids(spark, sf_dir):
     return dp.embedding_centroids(_emb(spark, sf_dir))
 
@@ -288,6 +296,8 @@ QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_features": q_multimodal_video_features,
+    "doc_chunks": q_doc_chunks,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 
@@ -931,4 +941,44 @@ SELECT doc_id,
        round(sqrt(CAST(list_sum([x * x for x in a]) AS DOUBLE) / n), 6) AS rms,
        CAST(list_max([abs(x) for x in a]) AS INT) AS peak
 FROM s ORDER BY doc_id
+"""
+
+ORACLES["doc_chunks"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1),
+                                {dp.CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {dp.CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(toks[start:start + {dp.CHUNK_SIZE} - 1], ' ')
+         AS chunk_text,
+       CAST(len(toks[start:start + {dp.CHUNK_SIZE} - 1]) AS INT)
+         AS n_chunk_tokens
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+# fixed-point sqrt-weight discipline: each cell's sqrt(p) is IEEE
+# correctly-rounded (bit-identical across engines); the normalizing sum
+# runs over floor(1e9*sqrt(p)) BIGINTs so it is exact and associative.
+ORACLES["temperature_mixture"] = f"""
+WITH agg AS (
+  SELECT source, lang, CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+fx AS (
+  SELECT source, lang, n_tokens,
+         CAST(floor(sqrt(n_tokens::DOUBLE / sum(n_tokens) OVER ())
+                    * {10 ** ts.TEMP_SCALE_BITS}) AS BIGINT) AS w_fx
+  FROM agg
+)
+SELECT source, lang, n_tokens,
+       round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share,
+       round(w_fx::DOUBLE / sum(w_fx) OVER (), 6) AS temp_weight,
+       round(round(w_fx::DOUBLE / sum(w_fx) OVER (), 6)
+             / round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6), 4)
+         AS upsample_factor
+FROM fx ORDER BY source, lang
 """

@@ -409,6 +409,13 @@ def q_salted_turn_counts(spark, sf_dir):
     return win.salted_turn_counts(load_transcripts(spark, sf_dir))
 
 
+def q_conversation_context(spark, sf_dir):
+    # presentation sort lives here, not in the operator (VERDICT r2 #7)
+    return win.conversation_context(load_transcripts(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 def q_conv_skew_profile(spark, sf_dir):
     return win.key_skew_profile(load_transcripts(spark, sf_dir), "conv_id")
 
@@ -890,6 +897,17 @@ FROM parsed WHERE {_ACCESS} GROUP BY status""",
     + f"""
 SELECT role, {_ROLE_CLASS_CASE} AS role_class, count(*) AS n
 FROM transcripts GROUP BY role""",
+    # string_agg / collect_list over the same ROWS frame: both engines
+    # concatenate in frame (ORDER BY) order; an empty frame is NULL in both.
+    "conversation_context": P
+    + f"""
+SELECT conv_id, turn_idx, role, text,
+       string_agg(role || ': ' || text, chr(10)) OVER w AS context,
+       CAST(count(*) OVER w AS INT) AS n_context_turns
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN {win.CONTEXT_TURNS} PRECEDING AND 1 PRECEDING)
+ORDER BY conv_id, turn_idx""",
 }
 
 QUERIES = {
@@ -937,4 +955,5 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "enriched_status_counts": q_enriched_status_counts,
     "enriched_role_counts": q_enriched_role_counts,
+    "conversation_context": q_conversation_context,
 }

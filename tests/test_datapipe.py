@@ -296,3 +296,58 @@ def test_snapshot_diff_hash_only_shuffle(spark):
         plan,
     )
     assert len(hash_below_exchange) == 2, plan
+
+
+# ------------------------------------------------------------ chunk_documents
+def test_chunk_documents_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in dp.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    }
+    # doc 1: 7 tokens -> starts 1,4,7 -> chunks of 4,4,1 tokens
+    assert out[(1, 0)]["chunk_text"] == "a b c d"
+    assert out[(1, 1)]["chunk_text"] == "d e f g"
+    assert out[(1, 2)]["chunk_text"] == "g"
+    assert out[(1, 2)]["n_chunk_tokens"] == 1
+    # single-token and empty docs each emit exactly one chunk
+    assert out[(2, 0)]["chunk_text"] == "x"
+    assert out[(3, 0)]["chunk_text"] == ""
+    assert len(out) == 5
+
+
+def test_chunk_documents_reconstructs_text_at_full_stride(spark):
+    """stride == chunk_size (no overlap): re-joining a doc's chunks in
+    chunk_idx order must reproduce the original text exactly."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(1 + (i * 7) % 23)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = dp.chunk_documents(docs, chunk_size=5, stride=5)
+    # order inside the aggregate (array_sort on (chunk_idx, text) structs):
+    # collect_list after an orderBy is NOT order-stable across a shuffle
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+    j = docs.join(rebuilt, "doc_id")
+    assert j.where(F.col("text") != F.col("rebuilt")).count() == 0
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dp.chunk_documents(docs, chunk_size=4, stride=5)
+    with _pytest.raises(ValueError):
+        dp.chunk_documents(docs, chunk_size=4, stride=0)

@@ -522,3 +522,49 @@ def test_salted_dim_join_equals_plain_rollup_and_salts_the_key(spark):
         if "Join" in ln and "conv_id" in ln
     )
     assert "_salt" in join_line, join_line
+
+
+def test_temperature_mixture_flattens_toward_parity(spark):
+    """T=2 scaling must (a) normalize to 1, (b) upsample every
+    below-average cell and downsample every above-average one (sqrt
+    crosses the identity at the uniform share), (c) preserve the share
+    ORDER (monotone transform)."""
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rows = ts.temperature_mixture(docs).collect()
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-4
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        if r["token_share"] < uniform * 0.9:
+            assert r["temp_weight"] > r["token_share"], r
+        if r["token_share"] > uniform * 1.1:
+            assert r["temp_weight"] < r["token_share"], r
+    by_share = sorted(rows, key=lambda r: r["token_share"])
+    weights = [r["temp_weight"] for r in by_share]
+    assert weights == sorted(weights)
+
+
+def test_conversation_context_hand_computed(spark):
+    from log_analysis_system_spark.operators import windows as win
+
+    rows = [
+        ("a", 0, "user", "hi"),
+        ("a", 1, "assistant", "hello"),
+        ("a", 2, "user", "thanks"),
+        ("a", 3, "assistant", "bye"),
+        ("b", 0, "user", "solo"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in win.conversation_context(t, n_context=2).collect()
+    }
+    assert got[("a", 0)]["context"] is None
+    assert got[("a", 0)]["n_context_turns"] == 0
+    assert got[("a", 1)]["context"] == "user: hi"
+    assert got[("a", 2)]["context"] == "user: hi\nassistant: hello"
+    # frame is ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING: turn 0 ages out
+    assert got[("a", 3)]["context"] == "assistant: hello\nuser: thanks"
+    assert got[("a", 3)]["n_context_turns"] == 2
+    assert got[("b", 0)]["context"] is None
