@@ -77,6 +77,12 @@ SHOW = [
      "dim exploded x buckets"),
     ("multimodal_video_features", "Arrow-batched strided frame sampling "
      "over binary clips"),
+    ("doc_chunks", "RAG chunking: posexplode over stride starts + slice of "
+     "ONE materialized token array — generator only, zero shuffle"),
+    ("temperature_mixture", "T=2 mixture reweighting: one partial-agg "
+     "shuffle to (source,lang); every window runs on the few-row aggregate"),
+    ("conversation_context", "context assembly: bounded ROWS frame "
+     "(K PRECEDING..1 PRECEDING) — one conv_id shuffle, O(K) row state"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
