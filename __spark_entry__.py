@@ -20,7 +20,7 @@ replica gate + pytest each round. (funnel_stages,
 tpch_large_volume_customers, tpch_promo_revenue, role_transitions,
 value_histogram, traffic_status_pivot, ip_overlap_sets, traffic_sliding, salted_dim_join,
 multimodal_video_features, tpch_no_recent_orders, doc_chunks,
-temperature_mixture and conversation_context, added
+temperature_mixture, mixture_resample and conversation_context, added
 late in round 3, wait outside the window — every slot is held by a
 §2-mapped operator or a first-driver-row round-3 entry; rotate them in
 next round.)

@@ -474,3 +474,37 @@ def temperature_mixture(docs: DataFrame) -> DataFrame:
         weight.alias("temp_weight"),
         F.round(weight / share, 4).alias("upsample_factor"),
     )
+
+
+RESAMPLE_BUCKETS = 1_000_000
+
+
+def mixture_resample(docs: DataFrame) -> DataFrame:
+    """Materialize the temperature mixture: per document, the number of
+    copies a T=2-rebalanced training corpus takes — ``floor(r)`` plus one
+    more for a deterministic ``frac(r)`` share of the cell's documents,
+    where ``r`` is the cell's :func:`temperature_mixture` upsample factor
+    (< 1 -> Bernoulli keep/drop, > 1 -> integer repeat + fractional top-up).
+
+    Determinism discipline: the Bernoulli draw is ``md5(doc_id) %
+    1e6 < frac(r) * 1e6`` — no ``rand()``, so re-runs and both engines
+    agree row-for-row, and the decision is a pure function of the doc id
+    (stable under incremental corpus growth, same property as
+    ``dataset_split``).
+
+    Scale: the mixture is a few-row aggregate -> broadcast join; the
+    corpus never shuffles and never materializes copies (downstream
+    repeats read ``n_copies``, so a 10x-upsampled cell costs metadata,
+    not storage).
+    """
+    rates = temperature_mixture(docs).select("source", "lang", "upsample_factor")
+    bucket = md5_hash60(F.col("doc_id").cast("string")) % RESAMPLE_BUCKETS
+    base = F.floor("upsample_factor")
+    frac = F.col("upsample_factor") - base
+    extra = (bucket < frac * RESAMPLE_BUCKETS).cast("int")
+    return docs.join(F.broadcast(rates), ["source", "lang"]).select(
+        "doc_id",
+        "source",
+        "lang",
+        (base.cast("int") + extra).alias("n_copies"),
+    )

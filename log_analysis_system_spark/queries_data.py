@@ -197,6 +197,10 @@ def q_temperature_mixture(spark, sf_dir):
     return ts.temperature_mixture(_docs(spark, sf_dir)).orderBy("source", "lang")
 
 
+def q_mixture_resample(spark, sf_dir):
+    return ts.mixture_resample(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_embedding_centroids(spark, sf_dir):
     return dp.embedding_centroids(_emb(spark, sf_dir))
 
@@ -298,6 +302,7 @@ QUERIES = {
     "multimodal_video_features": q_multimodal_video_features,
     "doc_chunks": q_doc_chunks,
     "temperature_mixture": q_temperature_mixture,
+    "mixture_resample": q_mixture_resample,
 }
 
 
@@ -981,4 +986,34 @@ SELECT source, lang, n_tokens,
              / round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6), 4)
          AS upsample_factor
 FROM fx ORDER BY source, lang
+"""
+
+# same fixed-point mixture CTEs as temperature_mixture; the Bernoulli draw
+# reuses dataset_split's md5-bucket hash, so both engines decide each doc
+# identically.
+ORACLES["mixture_resample"] = f"""
+WITH agg AS (
+  SELECT source, lang, CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+fx AS (
+  SELECT source, lang, n_tokens,
+         CAST(floor(sqrt(n_tokens::DOUBLE / sum(n_tokens) OVER ())
+                    * {10 ** ts.TEMP_SCALE_BITS}) AS BIGINT) AS w_fx
+  FROM agg
+),
+mix AS (
+  SELECT source, lang,
+         round(round(w_fx::DOUBLE / sum(w_fx) OVER (), 6)
+               / round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6), 4) AS r
+  FROM fx
+)
+SELECT d.doc_id, d.source, d.lang,
+       CAST(floor(r) + CASE
+         WHEN ({DUCK_HASH60.format(x="d.doc_id::VARCHAR")}
+               % {ts.RESAMPLE_BUCKETS})
+              < (r - floor(r)) * {ts.RESAMPLE_BUCKETS}
+         THEN 1 ELSE 0 END AS INT) AS n_copies
+FROM documents d JOIN mix USING (source, lang)
+ORDER BY d.doc_id
 """

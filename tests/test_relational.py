@@ -568,3 +568,38 @@ def test_conversation_context_hand_computed(spark):
     assert got[("a", 3)]["context"] == "assistant: hello\nuser: thanks"
     assert got[("a", 3)]["n_context_turns"] == 2
     assert got[("b", 0)]["context"] is None
+
+
+def test_mixture_resample_bounds_and_direction(spark):
+    """Every doc gets floor(r) or ceil(r) copies of its cell's upsample
+    factor r; the realized per-cell copy mass moves each cell TOWARD its
+    temperature weight (upsampled cells gain mass, downsampled lose)."""
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    rates = {
+        (r["source"], r["lang"]): r["upsample_factor"]
+        for r in ts.temperature_mixture(docs).collect()
+    }
+    rows = ts.mixture_resample(docs).collect()
+    assert len(rows) == docs.count()
+    import math
+
+    realized: dict = {}
+    cells: dict = {}
+    for r in rows:
+        rate = rates[(r["source"], r["lang"])]
+        assert r["n_copies"] in (math.floor(rate), math.ceil(rate)), r
+        k = (r["source"], r["lang"])
+        realized[k] = realized.get(k, 0) + r["n_copies"]
+        cells[k] = cells.get(k, 0) + 1
+    for k, rate in rates.items():
+        if rate > 1.5 and cells[k] >= 5:
+            assert realized[k] > cells[k], (k, rate, realized[k], cells[k])
+        if rate < 0.67 and cells[k] >= 5:
+            assert realized[k] < cells[k], (k, rate, realized[k], cells[k])
+
+
+def test_mixture_resample_deterministic(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    a = sorted(map(tuple, ts.mixture_resample(docs).collect()))
+    b = sorted(map(tuple, ts.mixture_resample(docs).collect()))
+    assert a == b
