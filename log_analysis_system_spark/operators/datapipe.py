@@ -430,15 +430,23 @@ def chunk_documents(
     Zero shuffle, zero UDFs, embarrassingly parallel; output fan-out is
     ~n_tokens/stride rows per document, each bounded by ``chunk_size``
     tokens, so no task ever holds more than one document's array. The
-    start sequence is capped by ``greatest(size, 1)`` so even an
-    empty-text doc ('' splits to one empty token in both engines) emits
-    exactly one chunk row rather than vanishing.
+    start sequence is capped by ``greatest(size - (chunk_size - stride),
+    1)`` so AT MOST ONE chunk reaches the document's end: a start within
+    ``chunk_size - stride`` of an already-end-reaching chunk would emit a
+    window fully contained in its predecessor (a duplicate retrieval
+    unit), so those trailing starts are dropped. Coverage is preserved —
+    the last surviving start ``s`` satisfies ``s > cap - stride =
+    size - chunk_size``, i.e. ``s + chunk_size - 1 >= size``. The
+    ``greatest(..., 1)`` floor keeps one chunk row even for an empty-text
+    doc ('' splits to one empty token in both engines).
     """
     if not (0 < stride <= chunk_size):
         raise ValueError(f"need 0 < stride <= chunk_size, got {stride}/{chunk_size}")
     base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride)
+        F.lit(1),
+        F.greatest(F.size("toks") - (chunk_size - stride), F.lit(1)),
+        F.lit(stride),
     )
     chunk = F.slice(F.col("toks"), F.col("start"), chunk_size)
     return (

@@ -464,15 +464,23 @@ def temperature_mixture(docs: DataFrame) -> DataFrame:
     p = F.col("n_tokens") / F.sum("n_tokens").over(total)
     fx = F.floor(F.sqrt(p) * F.lit(10**TEMP_SCALE_BITS)).cast("bigint")
     scaled = agg.select("source", "lang", "n_tokens", fx.alias("w_fx"))
-    share = F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
-    weight = F.round(F.col("w_fx") / F.sum("w_fx").over(total), 6)
+    # UNROUNDED ratios feed the factor: both are single IEEE divisions of
+    # exact BIGINT aggregates (bit-identical cross-engine), and a cell
+    # whose 6-dp-rounded share would collapse to 0.0 (share < 5e-7) no
+    # longer divides by zero. Rounding applies only to the outputs. A
+    # genuinely empty cell (n_tokens = 0, possible only for all-empty-text
+    # docs) is guarded to NULL on both engines rather than 0/0.
+    share_raw = F.col("n_tokens") / F.sum("n_tokens").over(total)
+    weight_raw = F.col("w_fx") / F.sum("w_fx").over(total)
     return scaled.select(
         "source",
         "lang",
         "n_tokens",
-        share.alias("token_share"),
-        weight.alias("temp_weight"),
-        F.round(weight / share, 4).alias("upsample_factor"),
+        F.round(share_raw, 6).alias("token_share"),
+        F.round(weight_raw, 6).alias("temp_weight"),
+        F.when(
+            F.col("n_tokens") > 0, F.round(weight_raw / share_raw, 4)
+        ).alias("upsample_factor"),
     )
 
 
@@ -497,12 +505,28 @@ def mixture_resample(docs: DataFrame) -> DataFrame:
     repeats read ``n_copies``, so a 10x-upsampled cell costs metadata,
     not storage).
     """
-    rates = temperature_mixture(docs).select("source", "lang", "upsample_factor")
+    # null-safe equi-join: temperature_mixture's groupBy KEEPS a NULL
+    # (source, lang) cell, so a plain equi-join would silently drop those
+    # docs from the resample plan. eqNullSafe (<=>) matches the NULL cell
+    # back to its docs; the oracle mirrors with IS NOT DISTINCT FROM. The
+    # mixture side's keys are renamed first — rates derives from docs, so
+    # unrenamed refs would resolve to the same lineage (trivially-true
+    # predicate, cartesian blowup).
+    rates = temperature_mixture(docs).select(
+        F.col("source").alias("m_source"),
+        F.col("lang").alias("m_lang"),
+        "upsample_factor",
+    )
     bucket = md5_hash60(F.col("doc_id").cast("string")) % RESAMPLE_BUCKETS
     base = F.floor("upsample_factor")
     frac = F.col("upsample_factor") - base
     extra = (bucket < frac * RESAMPLE_BUCKETS).cast("int")
-    return docs.join(F.broadcast(rates), ["source", "lang"]).select(
+    joined = docs.join(
+        F.broadcast(rates),
+        F.col("source").eqNullSafe(F.col("m_source"))
+        & F.col("lang").eqNullSafe(F.col("m_lang")),
+    )
+    return joined.select(
         "doc_id",
         "source",
         "lang",

@@ -257,6 +257,13 @@ def conversation_context(
     The first turn of a conversation has no context -> NULL (both
     engines agree: an empty window frame aggregates to NULL).
 
+    Null semantics are aligned cross-engine BY CONSTRUCTION: each line is
+    built with null-propagating ``concat`` (matching SQL ``||``, NOT
+    ``concat_ws`` which skips NULL args), so a turn with NULL role or
+    text contributes a NULL line; ``collect_list`` then skips it exactly
+    as ``string_agg`` does. ``n_context_turns`` counts the FRAME
+    (``count(*)``-equivalent), not the surviving lines, on both engines.
+
     Scale shape: ONE shuffle on conv_id, then a rows-bounded window
     frame (BETWEEN n PRECEDING AND 1 PRECEDING) — per-row state is
     bounded by ``n_context`` lines x turn length, never by conversation
@@ -265,7 +272,7 @@ def conversation_context(
     allowlisted exception to the no-per-group-arrays rule
     (test_plans.py): the array is O(n_context), not O(group).
     """
-    line = F.concat_ws(": ", "role", "text")
+    line = F.concat("role", F.lit(": "), "text")
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -280,5 +287,5 @@ def conversation_context(
         F.when(
             F.size(ctx_lines) > 0, F.array_join(ctx_lines, "\n")
         ).alias("context"),
-        F.size(ctx_lines).cast("int").alias("n_context_turns"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_context_turns"),
     )

@@ -952,8 +952,10 @@ ORACLES["doc_chunks"] = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
 s AS (
   SELECT doc_id, toks,
-         unnest(generate_series(1, greatest(len(toks), 1),
-                                {dp.CHUNK_STRIDE})) AS start
+         unnest(generate_series(
+             1,
+             greatest(len(toks) - {dp.CHUNK_SIZE - dp.CHUNK_STRIDE}, 1),
+             {dp.CHUNK_STRIDE})) AS start
   FROM t
 )
 SELECT doc_id,
@@ -982,9 +984,10 @@ fx AS (
 SELECT source, lang, n_tokens,
        round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share,
        round(w_fx::DOUBLE / sum(w_fx) OVER (), 6) AS temp_weight,
-       round(round(w_fx::DOUBLE / sum(w_fx) OVER (), 6)
-             / round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6), 4)
-         AS upsample_factor
+       CASE WHEN n_tokens > 0 THEN
+         round((w_fx::DOUBLE / sum(w_fx) OVER ())
+               / (n_tokens::DOUBLE / sum(n_tokens) OVER ()), 4)
+       END AS upsample_factor
 FROM fx ORDER BY source, lang
 """
 
@@ -1004,8 +1007,10 @@ fx AS (
 ),
 mix AS (
   SELECT source, lang,
-         round(round(w_fx::DOUBLE / sum(w_fx) OVER (), 6)
-               / round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6), 4) AS r
+         CASE WHEN n_tokens > 0 THEN
+           round((w_fx::DOUBLE / sum(w_fx) OVER ())
+                 / (n_tokens::DOUBLE / sum(n_tokens) OVER ()), 4)
+         END AS r
   FROM fx
 )
 SELECT d.doc_id, d.source, d.lang,
@@ -1014,6 +1019,8 @@ SELECT d.doc_id, d.source, d.lang,
                % {ts.RESAMPLE_BUCKETS})
               < (r - floor(r)) * {ts.RESAMPLE_BUCKETS}
          THEN 1 ELSE 0 END AS INT) AS n_copies
-FROM documents d JOIN mix USING (source, lang)
+FROM documents d JOIN mix
+  ON d.source IS NOT DISTINCT FROM mix.source
+ AND d.lang IS NOT DISTINCT FROM mix.lang
 ORDER BY d.doc_id
 """

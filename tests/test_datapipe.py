@@ -308,15 +308,17 @@ def test_chunk_documents_hand_computed(spark):
         (r["doc_id"], r["chunk_idx"]): r
         for r in dp.chunk_documents(docs, chunk_size=4, stride=3).collect()
     }
-    # doc 1: 7 tokens -> starts 1,4,7 -> chunks of 4,4,1 tokens
+    # doc 1: 7 tokens, starts capped at 7-(4-3)=6 -> starts 1,4 only.
+    # A third chunk at start 7 ("g") would be fully contained in chunk 1
+    # ("d e f g") — the trailing-duplicate case the cap removes.
     assert out[(1, 0)]["chunk_text"] == "a b c d"
     assert out[(1, 1)]["chunk_text"] == "d e f g"
-    assert out[(1, 2)]["chunk_text"] == "g"
-    assert out[(1, 2)]["n_chunk_tokens"] == 1
+    assert out[(1, 1)]["n_chunk_tokens"] == 4
+    assert (1, 2) not in out
     # single-token and empty docs each emit exactly one chunk
     assert out[(2, 0)]["chunk_text"] == "x"
     assert out[(3, 0)]["chunk_text"] == ""
-    assert len(out) == 5
+    assert len(out) == 4
 
 
 def test_chunk_documents_reconstructs_text_at_full_stride(spark):

@@ -570,6 +570,53 @@ def test_conversation_context_hand_computed(spark):
     assert got[("b", 0)]["context"] is None
 
 
+def test_conversation_context_null_line_semantics(spark):
+    """A turn with NULL role or text contributes a NULL line (SQL ``||``
+    semantics — concat, not concat_ws): the line is skipped in the joined
+    context exactly as DuckDB's string_agg skips it, but the turn still
+    counts toward n_context_turns (frame count, not surviving-line count)."""
+    from log_analysis_system_spark.operators import windows as win
+
+    rows = [
+        ("c", 0, "user", "hi"),
+        ("c", 1, None, "ghost"),  # NULL role -> NULL line
+        ("c", 2, "user", None),  # NULL text -> NULL line
+        ("c", 3, "assistant", "bye"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        r["turn_idx"]: r
+        for r in win.conversation_context(t, n_context=3).collect()
+    }
+    assert got[1]["context"] == "user: hi"
+    assert got[2]["context"] == "user: hi"  # turn 1's line skipped
+    assert got[2]["n_context_turns"] == 2  # but turn 1 is in the frame
+    assert got[3]["context"] == "user: hi"  # turns 1 and 2 both skipped
+    assert got[3]["n_context_turns"] == 3
+
+
+def test_mixture_resample_null_cell_not_dropped(spark):
+    """Docs in a NULL (source, lang) cell form a mixture cell (groupBy
+    keeps the null group) and must receive n_copies rows — the eqNullSafe
+    join must not silently drop them as a plain equi-join would."""
+    rows = [
+        (1, "web", "en", "a b c d"),
+        (2, "web", "en", "e f g h"),
+        (3, None, "en", "i j k l"),
+        (4, "web", None, "m n o p"),
+        (5, None, None, "q r s t"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = {r["doc_id"]: r for r in ts.mixture_resample(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for doc_id in (3, 4, 5):
+        assert out[doc_id]["n_copies"] is not None, out[doc_id]
+
+
 def test_mixture_resample_bounds_and_direction(spark):
     """Every doc gets floor(r) or ceil(r) copies of its cell's upsample
     factor r; the realized per-cell copy mass moves each cell TOWARD its
