@@ -8,22 +8,35 @@ reference's ``database.py:322-363`` / ``performance.py:60-74`` semantics).
 SURVEY.md §2 with a DuckDB oracle over the shared parquet views.
 
 Registry ordering is deliberate: the driver's correctness gate checks the
-FIRST 50 entries in iteration order, so ``_DRIVER_WINDOW`` front-loads
-(a) the queries that had not yet received a driver row by round 2 (all of
-queries_events / queries_tpch and 16 queries_data entries — every one
-value-exact in the local replica gate, ``tools/check_correctness.py``),
-(b) the decidable-invariant check wrappers for the five approximate
-operators (queries_checks — so the gate has zero rows-only entries), and
-(c) the highest-value long-stable log/dedup queries (green in rounds 1-2).
-Entries beyond the window stay registered and are verified by the local
-replica gate + pytest each round. (funnel_stages,
-tpch_large_volume_customers, tpch_promo_revenue, role_transitions,
-value_histogram, traffic_status_pivot, ip_overlap_sets, traffic_sliding, salted_dim_join,
-multimodal_video_features, tpch_no_recent_orders, doc_chunks,
-temperature_mixture, mixture_resample and conversation_context, added
-late in round 3, wait outside the window — every slot is held by a
-§2-mapped operator or a first-driver-row round-3 entry; rotate them in
-next round.)
+FIRST 50 entries in iteration order. Round-4 rotation (VERDICT.md next-round
+item #1): ``_DRIVER_WINDOW`` front-loads
+
+(a) ALL 21 queries that had never received a driver correctness row in
+rounds 1-3 (they waited outside the 50-entry window) — after this round,
+every registered query has had a driver row in some round. Two of them
+(``approx_distinct_daily``, ``value_percentiles_approx``) are genuinely
+approximate (HLL / approx quantile sketches differ across engines by
+design) and carry no oracle, so the driver records the weaker rows-only
+check for them; their VALUE evidence is the paired decidable-invariant
+wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
+(driver-green in round 3, exact+sketch compared in one frame).
+
+(b) the 29 oracle-paired queries last driver-checked in round 2 whose
+logic is NOT subsumed by a fresher in-window query — so no oracle-paired
+entry's most recent driver row is ever more than two rounds old
+(``tools/coverage_ledger.py`` asserts this). The 12 round-2 entries left
+outside are the ones whose semantics live inside fresher rows
+(status_counts/overall_response_stats/slow_endpoints/overall_error_rate/
+error_endpoints within endpoint_stats+enriched_status_counts;
+traffic_hourly/peak_traffic/error_rate_5min within
+rolling_traffic_anomalies's input family; daily_summary within
+approx_distinct_check's exact side) — plus the three oracle-less
+approximate operators (ann_lsh_bucketed, ann_ivf, dedup_embedding_lsh)
+whose value evidence is their round-3-green check wrappers.
+
+The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
+out intact; every rotated-out query stays registered and is re-verified
+by the local replica gate + pytest each round.
 """
 
 from __future__ import annotations
@@ -37,89 +50,64 @@ from log_analysis_system_spark.queries_log import QUERIES as _LOG_QUERIES
 
 # First 50 = the driver's correctness window (see module docstring).
 _DRIVER_WINDOW = [
-    # (a) driver-unseen before round 3 — queries_data
-    "text_token_stats",
-    "text_quality",
-    "text_language_id",
-    "text_fingerprints",
-    "dataset_split",
-    "source_mixture",
-    "tfidf_top_terms",
-    "vocab_top_terms",
-    "text_repetition",
-    "sequence_pack",
-    "embedding_centroids",
-    "corpus_filter",
-    "stratified_sample",
-    "embedding_centroid_distance",
-    "multimodal_image_features",
-    # (a) driver-unseen before round 3 — queries_events
-    "sessionized_events",
-    "session_stats",
-    "asof_error_click",
-    "range_follow_counts",
-    "topk_users_per_type",
-    "value_percentiles",
-    "session_window_stats",
-    "props_key_stats",
-    # (a) driver-unseen before round 3 — queries_tpch
-    "tpch_pricing_summary",
-    "tpch_shipping_priority",
-    "tpch_local_supplier_volume",
-    # round-3 new operators (new code needs driver rows most)
-    "decontamination",
-    "knn_label_agreement",
-    "lm_unigram_score",
-    # (conv_skew_profile took overall_error_rate's slot: A7's conditional
-    # error rate is aggregated inside the in-window endpoint_stats and
-    # endpoint_method_rollup's n_errors)
-    "conv_skew_profile",
-    # (endpoint_method_rollup took endpoint_stats_timeframe's slot: S11's
-    # per-endpoint agg shape lives in the in-window endpoint_stats; the
-    # timeframe BETWEEN filter is exercised by the registered
-    # timeframe_logs/error_timeframe_logs, green in rounds 1-2)
-    "endpoint_method_rollup",
-    # (snapshot_diff took suspicious_ips' slot: J1's broadcast semi-join +
-    # A11's deterministic first-row live inside the in-window
-    # security_events and ip_threat_scores)
-    "snapshot_diff",
-    # (tpch_order_priority took traffic_hourly's slot: A9's tumbling count
-    # is the input series of the in-window rolling_traffic_anomalies)
-    "tpch_order_priority",
-    # (oov_rates took multimodal_features' slot: D11 stays covered by the
-    # stricter multimodal_image_features, which has the analytic oracle)
-    "oov_rates",
-    # (boilerplate_shares took daily_summary's slot: A15's exact
-    # countDistinct is exercised inside the in-window approx_distinct_check)
-    "boilerplate_shares",
-    # (tpch_forecast_revenue took error_endpoints' slot: A8's error-rate +
-    # per-endpoint grouping logic lives in the in-window endpoint_stats and
-    # endpoint_method_rollup)
-    "tpch_forecast_revenue",
-    # (b) decidable-invariant wrappers for the approximate operators
-    "dedup_embedding_lsh_check",
-    "ann_lsh_check",
-    "ann_ivf_check",
-    "approx_distinct_check",
-    "percentiles_approx_check",
-    # (c) long-stable, highest-value log/dedup queries
-    "parsed_turns",
-    "rejects",
-    "endpoint_stats",
-    "ip_threat_scores",
-    "security_events",
-    # (brute_force yielded its slot to tpch_local_supplier_volume; its
-    # events flow into the in-window ip_threat_scores + security_events)
-    # (unusual_methods yielded its slot to decontamination: its logic is
-    # inside security_events + ip_threat_scores, both still in-window)
-    # (peak_traffic yielded its slot to lm_unigram_score; error_rate_5min to
-    # knn_label_agreement — both stable-green in rounds 1-2 and of the same
-    # windowed-traffic family as rolling_traffic_anomalies, in-window)
-    "rolling_traffic_anomalies",
-    "iqr_anomalies",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
+    # (a) never driver-checked in rounds 1-3 — log/transcript queries
+    "role_transitions",
+    "salted_dim_join",
+    "traffic_status_pivot",
+    "ip_overlap_sets",
+    "traffic_sliding",
+    "conversation_context",
+    "funnel_stages",
+    "value_histogram",
+    # (a) never driver-checked — data-pipeline queries
+    "embedding_quantization",
+    "multimodal_features",
+    "multimodal_audio_features",
+    "multimodal_video_features",
+    "doc_chunks",
+    "temperature_mixture",
+    "mixture_resample",
+    # (a) never driver-checked — approximate, no oracle by design (rows-only
+    # driver rows; value evidence = the r3-green check wrappers)
+    "approx_distinct_daily",
+    "value_percentiles_approx",
+    # (a) never driver-checked — TPC-H
+    "tpch_large_volume_customers",
+    "tpch_promo_revenue",
+    "tpch_no_recent_orders",
+    "tpch_customer_distribution",
+    # (b) last driver-checked round 2, rotated back in (oldest evidence)
+    "transcripts_roundtrip",
+    "parsed_turns_pandas",
+    "performance_metrics",
+    "timeframe_logs",
+    "error_timeframe_logs",
+    "endpoint_stats_timeframe",
+    "format_detection",
+    "brute_force",
+    "suspicious_ips",
+    "unusual_methods",
+    "zscore_anomalies",
+    "per_conv_zscore",
+    "turns_per_conversation",
+    "tool_invocations",
+    "turn_gaps",
+    "turn_ordering_check",
+    "conversation_alert_rates",
+    "salted_turn_counts",
+    "pii_redaction",
+    "enriched_status_counts",
+    "enriched_role_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "ann_topk_cosine",
+    "ann_topk_cosine_np",
+    "ann_ivf_fullprobe",
 ]
+
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -139,14 +127,16 @@ def _merged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-def _reorder(d: dict) -> dict:
+def _reorder(d: dict, require_all: bool = True) -> dict:
     # hard-fail on a missing window entry: a silent ImportError in a query
     # module would otherwise SHIFT the driver's first-50 window and change
-    # which queries get correctness rows
+    # which queries get correctness rows. oracle_sql() passes
+    # require_all=False — two in-window sketch queries (approx_distinct_daily,
+    # value_percentiles_approx) have no oracle BY DESIGN and must not trip it.
     missing = [n for n in _DRIVER_WINDOW if n not in d]
-    if missing:
+    if missing and require_all:
         raise RuntimeError(f"driver-window queries missing from registry: {missing}")
-    front = {n: d[n] for n in _DRIVER_WINDOW}
+    front = {n: d[n] for n in _DRIVER_WINDOW if n in d}
     rest = {n: v for n, v in d.items() if n not in front}
     return {**front, **rest}
 
@@ -164,4 +154,4 @@ def oracle_sql() -> dict[str, str]:
             out.update(m.ORACLES)
         except ImportError:
             pass
-    return _reorder(out)
+    return _reorder(out, require_all=False)

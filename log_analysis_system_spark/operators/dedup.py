@@ -67,7 +67,6 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
         hashed.join(groups, "h")
         .where(F.col("doc_id") != F.col("canonical_id"))
         .select("canonical_id", F.col("doc_id").alias("dup_id"))
-        .orderBy("canonical_id", "dup_id")
     )
 
 
@@ -136,7 +135,6 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -284,7 +282,6 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -313,8 +310,28 @@ def minhash_lsh_incremental(
     """
     sh_new = _shingle_docs(new_docs, k, nonempty=True).localCheckpoint(eager=False)
     sh_old = _shingle_docs(corpus_docs, k, nonempty=True).localCheckpoint(eager=False)
-    a = _band_entries(sh_new, bands, rows).alias("a")
-    b = _band_entries(sh_old, bands, rows).alias("b")
+    return _probe_corpus_lsh(
+        sh_new,
+        _band_entries(sh_new, bands, rows),
+        sh_old,
+        _band_entries(sh_old, bands, rows),
+        threshold,
+    )
+
+
+def _probe_corpus_lsh(
+    sh_new: DataFrame,
+    band_new: DataFrame,
+    sh_old: DataFrame,
+    band_old: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """new-side band entries probe corpus-side band entries; candidates
+    verified with exact Jaccard on the two shingle frames. Shared by the
+    recompute-everything path (:func:`minhash_lsh_incremental`) and the
+    pre-materialized-table path (:func:`minhash_lsh_incremental_probed`)."""
+    a = band_new.alias("a")
+    b = band_old.alias("b")
     cand = (
         a.join(
             b,
@@ -342,7 +359,71 @@ def minhash_lsh_incremental(
         cand.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("new_id", "corpus_id")
+    )
+
+
+def materialize_corpus_lsh(
+    corpus_docs: DataFrame,
+    prefix: str,
+    k: int = 3,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> tuple[str, str]:
+    """ONE-TIME corpus-side materialization for incremental dedup: write
+    the corpus's shingle table (bucketed by doc_id — the verify join's
+    key) and band-entry table (bucketed by bkey — the probe join's key)
+    via :func:`catalog.write_bucketed_table`. The 10^12-row corpus is
+    shingled exactly once; every subsequent ingest batch probes these
+    tables (:func:`minhash_lsh_incremental_probed`) and pays only
+    batch-proportional compute. Bucketing pre-pays the corpus-side
+    shuffle: probe joins against a batch repartitioned to the same key
+    need no corpus-side Exchange.
+
+    Returns the (shingle_table, band_table) names.
+    """
+    from ..sources import catalog
+
+    sh_name, band_name = f"{prefix}_shingles", f"{prefix}_bands"
+    sh = _shingle_docs(corpus_docs, k, nonempty=True).localCheckpoint(eager=False)
+    catalog.write_bucketed_table(
+        sh, sh_name, "doc_id", n_buckets,
+        path=f"{path}/{sh_name}" if path else None,
+    )
+    catalog.write_bucketed_table(
+        _band_entries(sh, bands, rows), band_name, "bkey", n_buckets,
+        path=f"{path}/{band_name}" if path else None,
+    )
+    return sh_name, band_name
+
+
+def minhash_lsh_incremental_probed(
+    new_docs: DataFrame,
+    spark,
+    prefix: str,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = 3,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """Per-ingest incremental dedup against the PRE-MATERIALIZED corpus
+    tables written by :func:`materialize_corpus_lsh` — the corpus is never
+    re-shingled: its shingle and band frames are bucketed-table SCANS
+    (assert it: the plan shows FileScans of ``{prefix}_shingles`` /
+    ``{prefix}_bands`` and tokenize/shingle projections only over the new
+    batch). Per-batch cost ∝ batch size; identical results to
+    :func:`minhash_lsh_incremental` over the same corpus (same band
+    scheme, same exact-Jaccard verify — tested in
+    ``test_dedup.py::test_incremental_probed_matches_one_shot``).
+    """
+    sh_new = _shingle_docs(new_docs, k, nonempty=True).localCheckpoint(eager=False)
+    return _probe_corpus_lsh(
+        sh_new,
+        _band_entries(sh_new, bands, rows),
+        spark.table(f"{prefix}_shingles"),
+        spark.table(f"{prefix}_bands"),
+        threshold,
     )
 
 
@@ -421,7 +502,6 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -462,7 +542,6 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -550,7 +629,6 @@ def embedding_cosine_pairs_lsh(
         cand.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
     )
 
 

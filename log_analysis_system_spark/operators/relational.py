@@ -98,7 +98,6 @@ def session_stats(
             ).alias("duration_sec"),
             F.count_distinct("event_type").alias("n_event_types"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 

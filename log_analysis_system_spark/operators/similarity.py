@@ -274,26 +274,43 @@ def ann_lsh_bucketed(
 
 
 def knn_label_agreement(
-    emb: DataFrame, k: int = DEFAULT_K, neighbors: DataFrame | None = None
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    neighbors: DataFrame | None = None,
+    max_brute_force_rows: int = 100_000,
 ) -> DataFrame:
     """Label-noise detection: each vector's label vs the majority label of
     its k nearest neighbors (cosine). A curation pipeline flags
     ``mislabeled`` rows (majority disagrees) for re-annotation or drop —
     the classic kNN-agreement screen over an embedded dataset.
 
-    ``neighbors`` defaults to the exact :func:`brute_force_topk` with the
-    whole corpus as the query set (test-scale). At 10^12 rows pass an
-    ANN-derived neighbor frame instead (same (query_id, neighbor_id, rank)
-    shape from :func:`ann_ivf` / :func:`ann_lsh_bucketed`) — the agreement
-    logic downstream of the neighbor frame is one label join + one
-    grouped vote, shuffling only (vec, neighbor-label) pairs.
+    ``neighbors`` defaults to the exact :func:`brute_force_topk_np`
+    (mapInPandas blocked matmul — no BroadcastNestedLoopJoin in the plan)
+    with the whole corpus as the query set, and that default REFUSES
+    corpora above ``max_brute_force_rows``: all-pairs exact kNN is
+    O(n^2) compute and the np path collects the query side, so above the
+    guard you must pass an ANN-derived neighbor frame instead (same
+    (query_id, neighbor_id, rank) shape from :func:`ann_ivf` /
+    :func:`ann_lsh_bucketed`). The agreement logic downstream of the
+    neighbor frame is one label join + one grouped vote, shuffling only
+    (vec, neighbor-label) pairs — that part scales regardless of the
+    neighbor source.
 
     Majority tie-break: highest vote count, then smallest label (both
     engines deterministic). Output: (vec_id, label, pred_label, n_agree,
     mislabeled).
     """
     if neighbors is None:
-        neighbors = brute_force_topk(emb, emb, k)
+        # bounded probe: scans at most max+1 rows, never the full corpus
+        n_rows = emb.limit(max_brute_force_rows + 1).count()
+        if n_rows > max_brute_force_rows:
+            raise ValueError(
+                f"knn_label_agreement: corpus has >{max_brute_force_rows} "
+                "rows; the exact all-pairs default is O(n^2) — pass an "
+                "ANN neighbor frame (ann_ivf / ann_lsh_bucketed) via "
+                "neighbors=, or raise max_brute_force_rows explicitly."
+            )
+        neighbors = brute_force_topk_np(emb, emb, k)
     lab = emb.select("vec_id", "label")
     n = neighbors.select("query_id", "neighbor_id").join(
         lab.select(

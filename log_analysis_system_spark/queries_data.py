@@ -45,30 +45,38 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------- dedup
 def q_dedup_exact(spark, sf_dir):
-    return dd.exact_duplicates(_docs(spark, sf_dir))
+    # presentation sorts live in the registry wrappers (deterministic
+    # oracle diffing); library callers get the unsorted frames
+    return dd.exact_duplicates(_docs(spark, sf_dir)).orderBy(
+        "canonical_id", "dup_id"
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dd.simhash_pairs(_docs(spark, sf_dir))
+    return dd.simhash_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    return dd.embedding_cosine_pairs(_emb(spark, sf_dir))
+    return dd.embedding_cosine_pairs(_emb(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
     # LSH-bucketed candidates + exact-cosine verify: the 10^12-row path.
     # Probabilistic recall (subset of the exact operator) -> no oracle
     # entry; tests assert subset + recall floor vs exact.
-    return dd.embedding_cosine_pairs_lsh(_emb(spark, sf_dir))
+    return dd.embedding_cosine_pairs_lsh(_emb(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_decontamination(spark, sf_dir):
@@ -94,7 +102,9 @@ def q_dedup_incremental(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
-    return dd.minhash_lsh_incremental(new, corpus)
+    return dd.minhash_lsh_incremental(new, corpus).orderBy(
+        "new_id", "corpus_id"
+    )
 
 
 # -------------------------------------------------------------- similarity

@@ -35,7 +35,11 @@ def q_sessionized_events(spark, sf_dir):
 
 
 def q_session_stats(spark, sf_dir):
-    return rel.session_stats(_events(spark, sf_dir))
+    # presentation sort in the wrapper only: the per-session rollup is
+    # corpus-scale at 10^12 turns, a global sort there is a scale-killer
+    return rel.session_stats(_events(spark, sf_dir)).orderBy(
+        "user_id", "session_seq"
+    )
 
 
 def q_asof_error_click(spark, sf_dir):

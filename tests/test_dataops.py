@@ -78,6 +78,57 @@ def test_incremental_dedup_matches_cross_slice_of_self_join(spark):
     assert got == expected and got
 
 
+def test_incremental_probed_matches_one_shot(spark, tmp_path):
+    """The D23 at-scale composition, end-to-end: materialize the corpus's
+    shingle + band tables ONCE (bucketed, via catalog.write_bucketed_table),
+    then run TWO ingest batches probing those tables. The union of the two
+    probed batches must equal the one-shot incremental operator over the
+    same inputs, and the probed plan must scan the materialized tables —
+    never the corpus source (no re-shingling per batch)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    # batches arrive as in-memory frames so 'documents.parquet' can appear
+    # in the probed plan ONLY via a corpus-side recompute (must not happen)
+    odd_rows = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text"
+    ).collect()
+    half = len(odd_rows) // 2
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    batch1, batch2 = mk(odd_rows[:half]), mk(odd_rows[half:])
+
+    prefix = "probe_corpus_t1"
+    sh_name, band_name = dd.materialize_corpus_lsh(
+        corpus, prefix, path=str(tmp_path)
+    )
+    try:
+        probed1 = dd.minhash_lsh_incremental_probed(batch1, spark, prefix)
+        probed2 = dd.minhash_lsh_incremental_probed(batch2, spark, prefix)
+        got = {
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in probed1.collect() + probed2.collect()
+        }
+        expected = {
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in dd.minhash_lsh_incremental(
+                mk(odd_rows), corpus
+            ).collect()
+        }
+        assert got == expected and got
+
+        # no-recompute evidence: the probed plan reads the materialized
+        # bucketed tables and never touches the corpus's source parquet
+        plan = probed1._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert sh_name in plan and band_name in plan, plan
+        assert "documents.parquet" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sh_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {band_name}")
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     t = "alpha beta gamma delta epsilon zeta eta theta"
     df = docs_df(spark, [t, t, "unrelated totally other words list here ok"])
@@ -451,6 +502,21 @@ def test_knn_label_agreement_flags_planted_mislabel(spark):
         assert not got[vid]["mislabeled"], vid
     # cluster-A members' neighbors include the mislabeled point -> n_agree 2
     assert got[0]["n_agree"] == 2 and got[4]["n_agree"] == 3
+
+
+def test_knn_label_agreement_guards_brute_force_default(spark):
+    """The all-pairs default refuses corpora above the guard; an injected
+    ANN neighbor frame bypasses the guard entirely (the scale path)."""
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    with pytest.raises(ValueError, match="ANN neighbor frame"):
+        sim.knn_label_agreement(emb, k=2, max_brute_force_rows=5)
+    # injected neighbors: no guard, no brute force — runs above the cap
+    nb = sim.brute_force_topk_np(emb, emb, 2)
+    out = sim.knn_label_agreement(
+        emb, k=2, neighbors=nb, max_brute_force_rows=5
+    )
+    assert out.count() == 6
 
 
 def test_lm_unigram_score_hand_computed(spark):

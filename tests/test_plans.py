@@ -42,8 +42,9 @@ BNLJ_ALLOWED = {
     "value_histogram",        # 1-row global-range frame broadcast into binning
     "conv_skew_profile",      # 1-row (total, n_keys) frame broadcast onto top-n
     "tpch_no_recent_orders",  # 1-row avg-balance scalar broadcast (Q22 shape)
-    "knn_label_agreement",    # exact neighbor source at test scale (broadcast
-                              # query set x corpus); ANN neighbor frame at scale
+    # (knn_label_agreement removed: its default neighbor source is now the
+    # mapInPandas blocked matmul — no BNLJ in the plan — plus a size guard
+    # that refuses the all-pairs default above 100k rows)
     # invariant-check wrappers: 1-row verdict aggregates joined conditionless
     # (plus the BNLJ shapes inherited from the operators they gate)
     "dedup_embedding_lsh_check",
