@@ -108,14 +108,32 @@ def main() -> None:
     # Warm the JVM + Arrow path once so q1 doesn't pay session startup.
     registry[names[0]](spark, sf_dir).limit(1).count()
 
+    # Per-query probe-gated best-of-N (the scaling_trial_once.py protocol
+    # adopted for the headline bench): each query carries its OWN window
+    # probe so a contended slice mid-run flags only the queries it touched.
+    # A contended per-query window buys one extra best-of trial — the floor
+    # then usually catches a clean slice; the flag records it either way.
+    try:
+        from hostprobe import probe as _probe_fn
+    except Exception:  # noqa: BLE001
+        _probe_fn = None
+
     timings: dict[str, float] = {}
+    query_probes: dict[str, dict] = {}
     for name in names:
+        q_probe = _probe_fn() if _probe_fn else {"efficiency": None, "clean": None}
+        q_repeat = repeat + (1 if q_probe.get("clean") is False else 0)
         best = float("inf")
-        for _ in range(repeat):
+        for _ in range(q_repeat):
             t0 = time.perf_counter()
             _force(registry[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        query_probes[name] = {
+            "efficiency": q_probe.get("efficiency"),
+            "clean": q_probe.get("clean"),
+            "trials": q_repeat,
+        }
 
     # End-to-end pipeline: parse -> enrich -> route -> aggregate with real
     # sink writes + state table (the north-rule headline metric).
@@ -126,8 +144,10 @@ def main() -> None:
     n_turns = transcripts.count()
     # best-of-2: this box shows noisy-neighbor windows (identical runs
     # measured 2x apart); the floor is the reproducible number
+    p_probe = _probe_fn() if _probe_fn else {"efficiency": None, "clean": None}
+    p_repeat = max(2, repeat) + (1 if p_probe.get("clean") is False else 0)
     pipeline_sec = float("inf")
-    for i in range(max(2, repeat)):
+    for i in range(p_repeat):
         out = tempfile.mkdtemp(prefix="bench_pipeline_")
         try:
             t0 = time.perf_counter()
@@ -136,6 +156,11 @@ def main() -> None:
         finally:
             shutil.rmtree(out, ignore_errors=True)
     timings["pipeline_e2e"] = round(pipeline_sec, 4)
+    query_probes["pipeline_e2e"] = {
+        "efficiency": p_probe.get("efficiency"),
+        "clean": p_probe.get("clean"),
+        "trials": p_repeat,
+    }
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -150,6 +175,7 @@ def main() -> None:
         "host_probe_efficiency": host.get("efficiency"),
         "host_window_clean": host.get("clean"),
         "bench_repeat": repeat,
+        "query_probes": query_probes,
     }))
     spark.stop()
 

@@ -88,3 +88,27 @@ def test_compact_table_directs_to_rewrite_procedure(monkeypatch, spark):
     monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
     with pytest.raises(NotImplementedError, match="rewrite_data_files"):
         catalog.compact_table(spark, "/unused", "parsed_turns")
+
+
+def test_read_table_iceberg_reads_catalog_table(monkeypatch, spark):
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    seen = []
+    monkeypatch.setattr(
+        type(spark.read), "table",
+        lambda self, name: seen.append(name) or "sentinel",
+        raising=True,
+    )
+    assert catalog.read_table(spark, "/unused", "parsed_turns") == "sentinel"
+    assert seen == ["graft.parsed_turns"]
+
+
+def test_table_exists_iceberg_uses_catalog_probe(monkeypatch, spark):
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    seen = []
+    monkeypatch.setattr(
+        type(spark.catalog), "tableExists",
+        lambda self, name: seen.append(name) or True,
+        raising=True,
+    )
+    assert catalog.table_exists(spark, "/unused", "alerts_critical") is True
+    assert seen == ["graft.alerts_critical"]
