@@ -63,6 +63,43 @@ def test_stream_restart_processes_nothing_new(spark, split_docs, tmp_path):
     assert n1 == n2 > 0
 
 
+def test_stream_matches_batch_at_sf01(spark, tmp_path):
+    """Round-4 scale-up of the batch-equivalence check: drain the sf0.1
+    document corpus (10x the fixture — 2500 new docs vs 2500 corpus docs)
+    through the streaming LSH probe and assert match-SET equality with the
+    one-shot batch operator. Catches anything micro-batch partitioning
+    would change at a size where planted near-dups number in the hundreds."""
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus.persist()
+    corpus.count()
+    try:
+        feed = str(tmp_path / "feed")
+        new.repartition(8).write.parquet(feed)
+        out = str(tmp_path / "out")
+        q = sp.streaming_incremental_dedup(
+            sp.read_document_stream(spark, feed, max_files_per_trigger=4),
+            corpus,
+            out,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+        got = {
+            (r["new_id"], r["corpus_id"], r["jaccard"])
+            for r in catalog.read_table(
+                spark, out, "near_dup_matches"
+            ).collect()
+        }
+        want = {
+            (r["new_id"], r["corpus_id"], r["jaccard"])
+            for r in dd.minhash_lsh_incremental(new, corpus).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        corpus.unpersist()
+
+
 def test_replayed_batch_is_idempotent(spark, split_docs, tmp_path):
     """foreachBatch delivers at-least-once: re-running the SAME
     (batch_df, batch_id) — the crash-between-sink-write-and-offset-commit

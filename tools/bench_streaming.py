@@ -121,6 +121,36 @@ def main() -> None:
         ),
     )
 
+    # 5) incremental LSH dedup drain over the sf0.1 document corpus
+    # (round-4: the streaming<->batch conservation surface, benched at the
+    # same scale its equality test runs — odd docs stream against the even
+    # corpus; docs/sec over the streamed side)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    corpus.persist()
+    corpus.count()
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    n_new = new.count()
+    doc_feed = os.path.join(work, "doc_feed")
+    new.repartition(8).write.parquet(doc_feed)
+
+    t0 = time.perf_counter()
+    sp.streaming_incremental_dedup(
+        sp.read_document_stream(spark, doc_feed, max_files_per_trigger=4),
+        corpus,
+        os.path.join(work, "dedup_out"),
+        os.path.join(work, "ckpt_incdedup"),
+    ).awaitTermination()
+    wall = time.perf_counter() - t0
+    corpus.unpersist()
+    results["incremental_dedup_sf01"] = {
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(n_new / wall, 1),
+        "n_new_docs": n_new,
+    }
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({
         "n_turns": n_turns,
