@@ -101,34 +101,45 @@ def compact_table(
     scan planning + open() overhead dominates small queries).
 
     Shape: one shuffle keyed on the partition columns (each partition's
-    rows converge on one task -> one output file), dynamic partition
-    overwrite so concurrent readers of untouched partitions are unaffected.
-    The Iceberg backend's equivalent is the `rewrite_data_files` procedure
-    (compaction is a first-class maintenance action there); this is the
-    parquet-dir fallback. Returns the row count rewritten (an end-to-end
-    conservation check for callers).
+    rows converge on one task -> one output file). STAGED SWAP, not
+    read-and-overwrite: the compacted copy streams executor-to-executor
+    into a staging directory (never materialized in memory — a 10^12-row
+    table compacts with bounded executor footprint), then two filesystem
+    renames swap it in. This is the same snapshot-style pattern Iceberg's
+    `rewrite_data_files` procedure uses (write new files, commit a
+    pointer flip); on the iceberg backend use that procedure directly.
+    Readers holding the old directory open keep a consistent view until
+    the rename; the swap window is two metadata ops, not a data rewrite.
+    Returns the row count rewritten (an end-to-end conservation check
+    for callers).
     """
     if table_format() == "iceberg":
         raise NotImplementedError(
             "use Iceberg's rewrite_data_files procedure on the iceberg backend"
         )
     cols = partition_cols or ["bucket"]
-    # eager checkpoint breaks the read->overwrite cycle (Spark refuses to
-    # overwrite a path its plan still reads). Fine at sink-table scale;
-    # for a 10^12-row table compact per partition batch, or write to a
-    # staging dir and swap (what Iceberg's rewrite procedure does with
-    # snapshots) instead of materializing the whole table.
-    df = spark.read.parquet(f"{base_dir}/{name}").localCheckpoint(eager=True)
-    n = df.count()
     from pyspark.sql import functions as F
 
+    live = f"{base_dir}/{name}"
+    staging = f"{base_dir}/{name}__compacting"
+    retired = f"{base_dir}/{name}__retired"
+    df = spark.read.parquet(live)
     compacted = df.repartition(*[F.col(c) for c in cols])
-    (
-        compacted.write.partitionBy(*cols)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(f"{base_dir}/{name}")
-    )
+    compacted.write.partitionBy(*cols).mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(live).getFileSystem(conf)
+    fs.delete(Path(retired), True)
+    if not fs.rename(Path(live), Path(retired)):
+        raise IOError(f"compact_table: could not retire {live}")
+    if not fs.rename(Path(staging), Path(live)):
+        # roll back: put the live table back before failing
+        fs.rename(Path(retired), Path(live))
+        raise IOError(f"compact_table: could not swap in {staging}")
+    fs.delete(Path(retired), True)
     return n
 
 

@@ -186,3 +186,11 @@ def test_compact_table_one_file_per_partition(spark, tmp_path_factory):
     after = spark.read.parquet(f"{base}/t")
     after_counts = {r["id"]: r["count"] for r in after.groupBy("id").count().collect()}
     assert after_counts == before_counts and after.count() == 4000
+    # staged swap leaves no staging/retired residue behind
+    import os
+
+    assert not os.path.exists(f"{base}/t__compacting")
+    assert not os.path.exists(f"{base}/t__retired")
+    # idempotent: a second compaction is a no-op rewrite, same multiset
+    assert catalog.compact_table(spark, base, "t", partition_cols=["bucket"]) == 4000
+    assert all(n == 1 for n in files_per_bucket().values())
