@@ -345,6 +345,49 @@ def test_chunk_documents_reconstructs_text_at_full_stride(spark):
     assert j.where(F.col("text") != F.col("rebuilt")).count() == 0
 
 
+def test_chunk_documents_cover_exactly_once_at_end(spark):
+    """Property sweep over (n_tokens, chunk_size, stride): chunks cover
+    every token (the last chunk reaches the doc end), starts advance by
+    exactly stride, and AT MOST ONE chunk reaches the end — no chunk is
+    fully contained in its predecessor (the round-3 advice fix)."""
+    cases = [
+        (n, cs, st)
+        for n in (1, 2, 3, 5, 7, 10, 16, 17, 23)
+        for cs, st in ((4, 3), (4, 1), (5, 5), (8, 2), (3, 2), (6, 4))
+    ]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(n)))
+            for i, (n, _, _) in enumerate(cases)
+        ],
+        "doc_id long, text string",
+    )
+    for (cs, st) in sorted({(cs, st) for _, cs, st in cases}):
+        rows = dp.chunk_documents(docs, chunk_size=cs, stride=st).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, (n, _, _) in enumerate(cases):
+            chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+            assert chunks[0]["chunk_idx"] == 0
+            assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+            # coverage: starts are 1 + idx*stride; the last chunk reaches n
+            last_start = 1 + chunks[-1]["chunk_idx"] * st
+            assert last_start + chunks[-1]["n_chunk_tokens"] - 1 == n, (
+                n, cs, st, chunks,
+            )
+            # at most one chunk reaches the end
+            reaching = [
+                c for c in chunks
+                if (1 + c["chunk_idx"] * st) + cs - 1 >= n
+            ]
+            assert len(reaching) <= 1, (n, cs, st, chunks)
+            # all non-final chunks are full-size
+            assert all(
+                c["n_chunk_tokens"] == cs for c in chunks[:-1]
+            ), (n, cs, st, chunks)
+
+
 def test_chunk_documents_rejects_bad_stride(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     import pytest as _pytest
