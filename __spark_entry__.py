@@ -23,8 +23,10 @@ wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 
 (b) the 29 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
-entry's most recent driver row is ever more than two rounds old
-(``tools/coverage_ledger.py`` asserts this). The 12 round-2 entries left
+entry's most recent driver row ever exceeds the 3-round full-coverage
+cycle that 112 queries over a 50-slot window arithmetically require
+(``tools/coverage_ledger.py`` asserts this; the 12 round-2 entries below
+are the round-5 rotation's must-include list). The 12 round-2 entries left
 outside are the ones whose semantics live inside fresher rows
 (status_counts/overall_response_stats/slow_endpoints/overall_error_rate/
 error_endpoints within endpoint_stats+enriched_status_counts;

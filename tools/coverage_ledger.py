@@ -10,7 +10,13 @@ CI) reads ONE table instead of diffing JSON files.
 
 Freshness policy (asserted, exit 1 on violation): counting the upcoming
 round as covering the current window, no oracle-paired query's most
-recent driver row may be older than MAX_STALE_ROUNDS rounds. Oracle-less
+recent driver row may be older than MAX_STALE_ROUNDS rounds.
+MAX_STALE_ROUNDS = 3 is the arithmetic floor, not a choice: 112
+registered queries rotate through a 50-slot window, so a full coverage
+cycle is ceil(112/50) = 3 rounds — the moment a round's CORRECTNESS file
+lands, the ~12 oldest out-of-window entries are necessarily 3 rounds from
+their last row until the NEXT rotation brings them in. A bound of 2 would
+go red at every judge step by construction. Oracle-less
 queries (approximate sketches / probabilistic recall paths) are listed
 but exempt from the oracle-freshness assertion — their value evidence is
 the paired ``*_check`` invariant wrappers, which ARE oracle-paired and
@@ -30,7 +36,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-MAX_STALE_ROUNDS = 2
+MAX_STALE_ROUNDS = 3
 
 
 def load_history(repo: str = "/root/repo") -> dict[int, dict]:
