@@ -242,8 +242,9 @@ def test_source_mixture_shares_sum_to_one(spark):
 
 def test_session_stats_reuses_window_partitioning(spark):
     """The rollup's groupBy(user_id, session_seq) must be satisfied by the
-    window's HashPartitioning(user_id) — exactly one hash exchange in the
-    whole plan (the orderBy adds a range exchange, not a hash one)."""
+    window's HashPartitioning(user_id) — exactly one hash exchange and,
+    since the round-4 sort hoist, NO range exchange in the operator plan
+    (the presentation sort lives in the registry wrapper only)."""
     ev = spark.read.parquet(f"{SF001}/events.parquet")
     plan = spark._jvm.PythonSQLUtils.explainString(
         rel.session_stats(ev)._jdf.queryExecution(), "formatted"
@@ -252,6 +253,9 @@ def test_session_stats_reuses_window_partitioning(spark):
     # block: "Arguments: hashpartitioning(...)" / "rangepartitioning(...)"
     hash_exchanges = plan.count("Arguments: hashpartitioning")
     assert hash_exchanges == 1, plan
+    # round-4 sort hoist: the OPERATOR plans no global sort (no range
+    # exchange) — the presentation ORDER BY lives in the registry wrapper
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_value_percentiles_approx_within_error_bound(spark):
