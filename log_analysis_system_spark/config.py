@@ -185,6 +185,10 @@ class RuntimeConfig:
     # alerting
     min_anomalies_for_alert: int = MIN_ANOMALIES_FOR_ALERT
     throttle_period: int = THROTTLE_PERIOD
+    # email delivery (config.yaml:52-62 schema; notifier.py consumes it).
+    # Disabled by default, exactly like the reference; 'spool_dir' (an
+    # extension) selects the offline .eml transport instead of SMTP.
+    email: dict = _field(default_factory=dict)
 
 
 DEFAULT_CONFIG = RuntimeConfig()
@@ -281,6 +285,8 @@ def load_config(
             overrides["min_anomalies_for_alert"] = int(alert["min_anomalies_for_alert"])
         if "throttle_period" in alert:
             overrides["throttle_period"] = int(alert["throttle_period"])
+        if raw.get("email"):
+            overrides["email"] = dict(raw["email"])
 
     if suspicious_ips_path is not None:
         overrides["suspicious_ips"] = _load_suspicious_ips(suspicious_ips_path)

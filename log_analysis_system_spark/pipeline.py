@@ -336,10 +336,19 @@ def _aggregate_stage(
                 scores, output_dir, "ip_threat_scores"
             )
 
-            st.throttle_alerts(
-                spark, output_dir, all_events.where(F.col("severity") == "high"),
-                run_id, cfg=cfg,
+            high_events = all_events.where(F.col("severity") == "high")
+            passed_alerts = st.throttle_alerts(
+                spark, output_dir, high_events, run_id, cfg=cfg,
             )
+            if cfg.email.get("enabled"):
+                # Delivery plane (notifier.py): O(alert types) rows leave
+                # Spark; payload rows are limited in Spark before collect.
+                from .notifier import EmailNotifier, deliver_throttled_alerts
+
+                email_cfg = {"throttle_period": cfg.throttle_period, **cfg.email}
+                result.sink_counts["alert_emails"] = deliver_throttled_alerts(
+                    passed_alerts, EmailNotifier(email_cfg), alert_rows=high_events,
+                )
         finally:
             agg_events.unpersist()
             parsed.unpersist()
