@@ -21,20 +21,26 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) the 29 oracle-paired queries last driver-checked in round 2 whose
+(b) 26 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
 entry's most recent driver row ever exceeds the 3-round full-coverage
-cycle that 112 queries over a 50-slot window arithmetically require
-(``tools/coverage_ledger.py`` asserts this; the 12 round-2 entries below
-are the round-5 rotation's must-include list). The 12 round-2 entries left
-outside are the ones whose semantics live inside fresher rows
-(status_counts/overall_response_stats/slow_endpoints/overall_error_rate/
-error_endpoints within endpoint_stats+enriched_status_counts;
-traffic_hourly/peak_traffic/error_rate_5min within
-rolling_traffic_anomalies's input family; daily_summary within
-approx_distinct_check's exact side) — plus the three oracle-less
+cycle that 115 queries over a 50-slot window arithmetically require
+(``tools/coverage_ledger.py`` asserts this; the round-2 entries left
+outside are the round-5 rotation's must-include list). The 15 round-2
+entries left outside are the ones whose semantics live inside fresher
+rows (status_counts/overall_response_stats/slow_endpoints/
+overall_error_rate/error_endpoints within
+endpoint_stats+enriched_status_counts; traffic_hourly/peak_traffic/
+error_rate_5min within rolling_traffic_anomalies's input family;
+daily_summary within approx_distinct_check's exact side;
+error_timeframe_logs within timeframe_logs; enriched_role_counts within
+enriched_status_counts; ann_topk_cosine_np within ann_topk_cosine, whose
+output contract it shares row-for-row) — plus the three oracle-less
 approximate operators (ann_lsh_bucketed, ann_ivf, dedup_embedding_lsh)
 whose value evidence is their round-3-green check wrappers.
+
+(c) the three operators NEW in round 4 (span_dedup, token_budget_sample,
+kmeans_clusters) — first driver rows for each.
 
 The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
 out intact; every rotated-out query stays registered and is re-verified
@@ -83,7 +89,6 @@ _DRIVER_WINDOW = [
     "parsed_turns_pandas",
     "performance_metrics",
     "timeframe_logs",
-    "error_timeframe_logs",
     "endpoint_stats_timeframe",
     "format_detection",
     "brute_force",
@@ -99,15 +104,18 @@ _DRIVER_WINDOW = [
     "salted_turn_counts",
     "pii_redaction",
     "enriched_status_counts",
-    "enriched_role_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
     "ann_topk_cosine",
-    "ann_topk_cosine_np",
     "ann_ivf_fullprobe",
+    # (c) NEW this round (round-4 operators, first driver rows):
+    # span-level dedup, greedy token-budget sampling, deterministic k-means
+    "span_dedup",
+    "token_budget_sample",
+    "kmeans_clusters",
 ]
 
 

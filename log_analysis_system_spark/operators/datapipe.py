@@ -460,3 +460,55 @@ def chunk_documents(
             F.size(chunk).alias("n_chunk_tokens"),
         )
     )
+
+
+TOKEN_BUDGET = 1000
+
+
+def token_budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Greedy per-source token-budget selection: inside each ``source``,
+    order documents by a deterministic pseudo-random priority (the 60-bit
+    md5 of the text, tie-broken by doc_id) and keep documents while the
+    running token total stays within ``budget``.
+
+    The mixture-building primitive a pretraining corpus needs between
+    scoring and packing: "take at most N tokens from each source,
+    uniformly at random but reproducibly". The md5 priority is a seeded
+    shuffle both engines compute identically (no rand()), so the selected
+    set is stable across runs, engines, and corpus repartitioning — the
+    same determinism policy as ``stratified_sample``'s md5-bucket keeps.
+
+    Output: the kept rows only — ``(doc_id, source, n_tokens,
+    cum_tokens)`` with ``cum_tokens`` the inclusive running total in
+    priority order (every kept row has ``cum_tokens <= budget``).
+
+    Scale shape (100 TB): one hash-partition shuffle on ``source`` + a
+    per-source ordered window sum — sources are the parallel unit, and the
+    per-source sequential pass is inherent to greedy budgeting (the keep
+    decision for a doc depends on every higher-priority doc in its
+    source). A corpus whose source cardinality is tiny relative to
+    cluster cores should pre-split hot sources (the salting pattern in
+    ``relational.salted_turn_counts``); budgets then apply per split.
+    Only (doc_id, source, n_tokens, pri) ever shuffles — 4 scalar
+    columns, never text.
+    """
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        md5_hash60(F.col("text")).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.texthash import (
     feature_hashes32,
+    md5_hash60,
     minhash_signature,
     shingle_hashes,
     shingles_from_tokens,
@@ -701,3 +702,65 @@ def dedup_components(
     # unsorted: a global presentation sort on a corpus-sized frame would
     # dominate the plan at scale; the registry wrapper adds it for the oracle
     return labels
+
+
+SPAN_W = 8
+
+
+def span_dup_stats(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Span-level exact-duplication signals: per document, the share of its
+    distinct ``w``-token spans that also occur verbatim in >= 1 OTHER
+    document.
+
+    The fixed-width approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): whole-doc dedup (``exact_duplicates``) misses documents
+    that merely EMBED duplicated passages — boilerplate headers, quoted
+    chunks, templated sections — which span-level stats surface so a
+    corpus build can drop or down-weight them. Beyond-reference operator
+    (the reference dedups nothing below whole-line granularity);
+    SURVEY §2.10.
+
+    Output: ``(doc_id, n_spans, n_dup_spans, dup_span_ratio)`` — one row
+    per input document; docs shorter than ``w`` tokens report 0 spans and
+    ratio 0.0.
+
+    Scale shape (100 TB): spans are reduced to 60-bit md5 hashes BEFORE
+    any shuffle (8-byte keys, never span text); the duplicated-span set is
+    a (hash, count>=2) partial-agg; the join back to per-doc span hashes
+    keys on the same hash, so work is bounded by span co-occurrence — no
+    pairwise doc comparison anywhere. The md5-60bit hash is reproduced
+    exactly by the DuckDB oracle, so hash collisions (if any) collapse the
+    same spans on both engines.
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    sh = base.select(
+        "doc_id", shingles_from_tokens(F.col("t"), w).alias("sp")
+    )
+    # explode_outer keeps span-less (short) docs as a NULL row so the
+    # output stays one-row-per-document without a second pass over docs
+    ex = sh.select("doc_id", F.explode_outer("sp").alias("s")).select(
+        "doc_id", md5_hash60(F.col("s")).alias("h")
+    )
+    ex = ex.localCheckpoint(eager=False)
+    dup = (
+        ex.where(F.col("h").isNotNull())
+        .groupBy("h")
+        # spans are distinct per doc, so COUNT(*) == count of docs
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    n_dup = F.count("is_dup")
+    n_spans = F.count("h")
+    return (
+        ex.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.round(
+                F.when(n_spans > 0, n_dup / n_spans).otherwise(F.lit(0.0)), 6
+            ).alias("dup_span_ratio"),
+        )
+    )

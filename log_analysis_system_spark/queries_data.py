@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.texthash import DUCK_HASH60, duck_shingles_cte, duck_simhash32_sql
+from .operators import clustering as cl
 from .operators import datapipe as dp
 from .operators import dedup as dd
 from .operators import multimodal as mm
@@ -260,6 +261,25 @@ def q_multimodal_audio_features(spark, sf_dir):
     return df.orderBy("doc_id")
 
 
+def q_span_dedup(spark, sf_dir):
+    """Span-level exact dedup (fixed-width substring-dedup approximation):
+    per-doc share of 8-token spans duplicated verbatim in other docs."""
+    return dd.span_dup_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Greedy per-source token-budget selection under the deterministic
+    md5 priority shuffle (budget = 1000 tokens per source)."""
+    return dp.token_budget_sample(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=10, 3 iterations, 6-dp centroid
+    rounding) over the embeddings table; oracle = the exactly-unrolled
+    3-iteration SQL."""
+    return cl.kmeans_assignments(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
 def q_multimodal_video_features(spark, sf_dir):
     """Strided frame sampling over the synthetic VID0 clips (the stub
     container documented in operators/multimodal.py; plumbing + sampling
@@ -313,6 +333,9 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "temperature_mixture": q_temperature_mixture,
     "mixture_resample": q_mixture_resample,
+    "span_dedup": q_span_dedup,
+    "token_budget_sample": q_token_budget_sample,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 
@@ -1034,3 +1057,110 @@ FROM documents d JOIN mix
  AND d.lang IS NOT DISTINCT FROM mix.lang
 ORDER BY d.doc_id
 """
+
+# span-level exact dedup: spans reduced to the shared md5-60bit hash, so
+# collisions (if any) collapse identically on both engines; the w=8
+# shingle CTE is the k=3 jaccard CTE at a different width.
+_SPAN_SH = duck_shingles_cte("documents", k=dd.SPAN_W)
+ORACLES["span_dedup"] = f"""
+WITH {_SPAN_SH},
+ex AS (
+  SELECT doc_id, {DUCK_HASH60.format(x="s")} AS h
+  FROM (SELECT doc_id, unnest(ts) AS s FROM sh)
+),
+dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+per AS (
+  SELECT e.doc_id,
+         count(*) AS n_spans,
+         count(d.h) AS n_dup_spans
+  FROM ex e LEFT JOIN dup d USING (h)
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       round(CASE WHEN coalesce(p.n_spans, 0) > 0
+                  THEN p.n_dup_spans::DOUBLE / p.n_spans
+                  ELSE 0.0 END, 6) AS dup_span_ratio
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+# greedy budget selection: the window sum is integer-exact on both
+# engines, and the md5 priority is the shared 60-bit hash, so the kept
+# set is decided identically.
+ORACLES["token_budget_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::INT AS n_tokens,
+         {DUCK_HASH60.format(x="text")} AS pri
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY pri, doc_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS cum_tokens
+  FROM s
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {dp.TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
+def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+    """Exactly-unrolled Lloyd's: one assignment CTE + one centroid-update
+    CTE per iteration, mirroring clustering.kmeans_assignments' float
+    contract (6-dp centroid AND distance rounding, [dist, cl] tie-break)."""
+    rng = f"range(1, {dim + 1})"
+
+    def assign(j: int, cprev: str) -> str:
+        return f"""
+a{j} AS (
+  SELECT vec_id,
+         (min([round(list_sum([ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                                for i in {rng}]), 6),
+               c.cl::DOUBLE]))[2]::INT AS cluster
+  FROM e, {cprev} c GROUP BY vec_id
+)"""
+
+    def update(j: int, cprev: str) -> str:
+        return f"""
+m{j} AS (
+  SELECT a.cluster AS cl, t.i AS dim, round(avg(e.v[t.i]), 6) AS m
+  FROM a{j} a JOIN e USING (vec_id), {rng} t(i)
+  GROUP BY 1, 2
+),
+c{j} AS (
+  SELECT {cprev}.cl, coalesce(n.cent, {cprev}.cent) AS cent
+  FROM {cprev} LEFT JOIN
+       (SELECT cl, list(m ORDER BY dim) AS cent FROM m{j} GROUP BY cl) n
+  USING (cl)
+)"""
+
+    # n_iter full (assign + update) Lloyd iterations, then one FINAL
+    # assignment against the last centroids — mirroring the Spark loop
+    parts = []
+    for j in range(1, n_iter + 1):
+        parts.append(assign(j, f"c{j - 1}"))
+        parts.append(update(j, f"c{j - 1}"))
+    parts.append(assign(n_iter + 1, f"c{n_iter}"))
+    body = ",".join(parts)
+    return f"""
+WITH e AS (
+  SELECT vec_id, [embedding[i]::DOUBLE for i in {rng}] AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id::INT AS cl, [round(x, 6) for x in v] AS cent
+  FROM e WHERE vec_id < {k}
+),{body}
+SELECT vec_id, cluster FROM a{n_iter + 1} ORDER BY vec_id
+"""
+
+
+ORACLES["kmeans_clusters"] = _kmeans_oracle(
+    cl.KMEANS_K, cl.KMEANS_ITERS, 64
+)

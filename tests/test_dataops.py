@@ -693,3 +693,88 @@ def test_video_decode_typed_errors():
     truncated = mm.make_video(3)[:-1]
     with _pytest.raises(ValueError, match="length mismatch"):
         mm.decode_video(truncated)
+
+
+# ---------------------------------------------------------- round-4 operators
+def test_span_dup_stats_hand_computed(spark):
+    """3-token spans: doc 1 and 2 share one span verbatim; doc 3 is clean;
+    doc 4 is shorter than the span width."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # spans: "a b c", "b c d"
+            (2, "x a b c"),       # spans: "x a b", "a b c"  (shares "a b c")
+            (3, "p q r s"),       # spans: "p q r", "q r s"  (unique)
+            (4, "t u"),           # too short: 0 spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.span_dup_stats(docs, w=3).collect()
+    }
+    assert len(out) == 4
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (2, 1)
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (2, 1)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (2, 0)
+    assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (0, 0)
+    assert out[1]["dup_span_ratio"] == 0.5
+    assert out[4]["dup_span_ratio"] == 0.0
+
+
+def test_token_budget_sample_budget_and_determinism(spark):
+    from log_analysis_system_spark.operators import datapipe as dp
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), "w " * (i + 1) + "end") for i in range(20)],
+        ["doc_id", "source", "text"],
+    )
+    out = dp.token_budget_sample(docs, budget=30).collect()
+    # inclusive running total never exceeds the budget
+    assert all(r["cum_tokens"] <= 30 for r in out)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # greedy: per source the kept set is a prefix of the priority order,
+    # so re-running on a repartitioned input yields the identical set
+    out2 = dp.token_budget_sample(docs.repartition(7), budget=30).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in out2
+    )
+    # adding budget never evicts a previously kept doc (monotonicity)
+    out3 = dp.token_budget_sample(docs, budget=60).collect()
+    assert set(r["doc_id"] for r in out) <= set(r["doc_id"] for r in out3)
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    from log_analysis_system_spark.operators import clustering as cl
+
+    # two tight planted blobs far apart; k=2, init = vec_ids 0 (blob A)
+    # and 1 (blob B)
+    rows = []
+    for i in range(10):
+        blob = i % 2
+        base = 0.0 if blob == 0 else 100.0
+        rows.append((i, [base + 0.01 * i, base - 0.01 * i]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = cl.kmeans_assignments(emb, k=2, n_iter=2).collect()
+    lab = {r["vec_id"]: r["cluster"] for r in out}
+    assert set(lab.values()) == {0, 1}
+    for i in range(10):
+        assert lab[i] == lab[i % 2], f"vec {i} crossed blobs"
+
+
+def test_kmeans_empty_cluster_carries_centroid(spark):
+    from log_analysis_system_spark.operators import clustering as cl
+
+    # vec 1's init centroid is immediately orphaned (all points nearer to
+    # vec 0's): the empty cluster must carry its centroid, not crash
+    rows = [(0, [0.0, 0.0]), (1, [50.0, 50.0]), (2, [0.1, 0.1]), (3, [0.2, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = cl.kmeans_assignments(emb, k=2, n_iter=2).collect()
+    lab = {r["vec_id"]: r["cluster"] for r in out}
+    assert lab[0] == 0 and lab[2] == 0 and lab[3] == 0
+    assert lab[1] == 1  # still nearest the carried centroid

@@ -83,6 +83,14 @@ SHOW = [
      "shuffle to (source,lang); every window runs on the few-row aggregate"),
     ("conversation_context", "context assembly: bounded ROWS frame "
      "(K PRECEDING..1 PRECEDING) — one conv_id shuffle, O(K) row state"),
+    ("span_dedup", "span-level dedup: 60-bit span hashes BEFORE the "
+     "shuffle (8-byte keys, never span text); dup set is a partial-agg, "
+     "join back on the same hash"),
+    ("token_budget_sample", "greedy per-source budget: one source "
+     "shuffle + ordered window sum over 4 scalar columns"),
+    ("kmeans_clusters", "final Lloyd assignment: k centroids inlined as "
+     "LITERALS — join-free single scan (updates ran as (cluster,dim) "
+     "partial aggs)"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
