@@ -21,26 +21,30 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) 26 oracle-paired queries last driver-checked in round 2 whose
+(b) 24 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
 entry's most recent driver row ever exceeds the 3-round full-coverage
-cycle that 115 queries over a 50-slot window arithmetically require
+cycle that 117 queries over a 50-slot window arithmetically require
 (``tools/coverage_ledger.py`` asserts this; the round-2 entries left
-outside are the round-5 rotation's must-include list). The 15 round-2
+outside are the round-5 rotation's must-include list). The 17 round-2
 entries left outside are the ones whose semantics live inside fresher
 rows (status_counts/overall_response_stats/slow_endpoints/
 overall_error_rate/error_endpoints within
 endpoint_stats+enriched_status_counts; traffic_hourly/peak_traffic/
 error_rate_5min within rolling_traffic_anomalies's input family;
 daily_summary within approx_distinct_check's exact side;
-error_timeframe_logs within timeframe_logs; enriched_role_counts within
-enriched_status_counts; ann_topk_cosine_np within ann_topk_cosine, whose
-output contract it shares row-for-row) — plus the three oracle-less
-approximate operators (ann_lsh_bucketed, ann_ivf, dedup_embedding_lsh)
-whose value evidence is their round-3-green check wrappers.
+timeframe_logs/error_timeframe_logs (S10) within
+endpoint_stats_timeframe's (S11) timeframe predicate;
+enriched_role_counts within enriched_status_counts; zscore_anomalies
+within per_conv_zscore's z-score mechanics; ann_topk_cosine_np within
+ann_topk_cosine, whose output contract it shares row-for-row) — plus
+the three oracle-less approximate operators (ann_lsh_bucketed, ann_ivf,
+dedup_embedding_lsh) whose value evidence is their round-3-green check
+wrappers.
 
-(c) the three operators NEW in round 4 (span_dedup, token_budget_sample,
-kmeans_clusters) — first driver rows for each.
+(c) the five operators NEW in round 4 (span_dedup, token_budget_sample,
+kmeans_clusters, cluster_balanced_sample, cluster_purity) — first driver
+rows for each.
 
 The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
 out intact; every rotated-out query stays registered and is re-verified
@@ -88,13 +92,11 @@ _DRIVER_WINDOW = [
     "transcripts_roundtrip",
     "parsed_turns_pandas",
     "performance_metrics",
-    "timeframe_logs",
     "endpoint_stats_timeframe",
     "format_detection",
     "brute_force",
     "suspicious_ips",
     "unusual_methods",
-    "zscore_anomalies",
     "per_conv_zscore",
     "turns_per_conversation",
     "tool_invocations",
@@ -112,10 +114,13 @@ _DRIVER_WINDOW = [
     "ann_topk_cosine",
     "ann_ivf_fullprobe",
     # (c) NEW this round (round-4 operators, first driver rows):
-    # span-level dedup, greedy token-budget sampling, deterministic k-means
+    # span-level dedup, greedy token-budget sampling, deterministic
+    # k-means + its two downstream curation queries
     "span_dedup",
     "token_budget_sample",
     "kmeans_clusters",
+    "cluster_balanced_sample",
+    "cluster_purity",
 ]
 
 

@@ -58,6 +58,11 @@ DATA_HEADLINE = [
     "conv_skew_profile",
     "snapshot_diff",
     "tpch_order_priority",
+    # round-4 additions (same rule: per-query times are the cross-round
+    # signal, totals are not comparable once the set grows)
+    "span_dedup",
+    "token_budget_sample",
+    "kmeans_clusters",
 ]
 
 

@@ -122,3 +122,86 @@ def kmeans_assignments(
 
     out = _assign(emb, cents)
     return out
+
+
+PER_CLUSTER = 20
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    per_cluster: int = PER_CLUSTER,
+) -> DataFrame:
+    """Diversity-aware selection: k-means the corpus, then keep the top
+    ``per_cluster`` vectors of EVERY cluster under a deterministic
+    md5 priority — the cluster-balanced pruning shape of SemDeDup-style
+    curation (Abbas et al. 2023): uniform sampling over-represents dense
+    regions; sampling a fixed quota per semantic cluster flattens that.
+
+    Priority is ``md5_hash60(vec_id)`` (tie-break vec_id) — the same
+    engine-portable seeded-shuffle trick as ``datapipe.stratified_sample``.
+
+    Output: ``(vec_id, cluster, rank)`` for kept rows, rank 1-based
+    within cluster.
+
+    Scale shape: the clustering cost is `kmeans_assignments`; the quota
+    pass is ONE cluster-keyed shuffle of (vec_id, cluster, pri) scalar
+    rows + a rank window — per-cluster sequential like every top-k, with
+    k clusters as the parallel unit (raise k, not the quota, at corpus
+    scale).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.texthash import md5_hash60
+
+    assign = kmeans_assignments(emb, k, n_iter)
+    pri = assign.select(
+        "vec_id",
+        "cluster",
+        md5_hash60(F.col("vec_id").cast("string")).alias("pri"),
+    )
+    w = Window.partitionBy("cluster").orderBy("pri", "vec_id")
+    return (
+        pri.select(
+            "vec_id",
+            "cluster",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= per_cluster)
+        .select("vec_id", "cluster", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def cluster_purity(
+    emb: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """Per-cluster label purity: how well the unsupervised clusters
+    recover the ``label`` column — the standard clustering-quality check
+    before trusting cluster-level curation decisions.
+
+    Output: ``(cluster, n_points, majority_label, purity)`` where
+    purity = majority-label count / cluster size, ties on the majority
+    broken toward the SMALLER label id (the [count, -label] lexicographic
+    max, computed identically in the SQL oracle).
+
+    Scale shape: (cluster, label) partial agg — k*|labels| cells — then a
+    k-row reduction; integer counts divide exactly on both engines.
+    """
+    assign = kmeans_assignments(emb, k, n_iter)
+    cells = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("c").alias("c"),
+            (-F.col("label").cast("long")).alias("neg_label"),
+        )
+    )
+    return cells.groupBy("cluster").agg(
+        F.sum("c").cast("bigint").alias("n_points"),
+        (-best.getField("neg_label")).cast("int").alias("majority_label"),
+        F.round(best.getField("c") / F.sum("c"), 6).alias("purity"),
+    )

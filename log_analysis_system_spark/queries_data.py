@@ -280,6 +280,20 @@ def q_kmeans_clusters(spark, sf_dir):
     return cl.kmeans_assignments(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Diversity-aware quota selection: top-20 per k-means cluster under
+    the deterministic md5(vec_id) priority."""
+    return cl.cluster_balanced_sample(_emb(spark, sf_dir)).orderBy(
+        "cluster", "rank"
+    )
+
+
+def q_cluster_purity(spark, sf_dir):
+    """Per-cluster majority-label purity of the k-means clustering vs the
+    embeddings' label column."""
+    return cl.cluster_purity(_emb(spark, sf_dir)).orderBy("cluster")
+
+
 def q_multimodal_video_features(spark, sf_dir):
     """Strided frame sampling over the synthetic VID0 clips (the stub
     container documented in operators/multimodal.py; plumbing + sampling
@@ -336,6 +350,8 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "token_budget_sample": q_token_budget_sample,
     "kmeans_clusters": q_kmeans_clusters,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "cluster_purity": q_cluster_purity,
 }
 
 
@@ -1110,10 +1126,12 @@ ORDER BY doc_id
 """
 
 
-def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+def _kmeans_ctes(k: int, n_iter: int, dim: int) -> tuple[str, str]:
     """Exactly-unrolled Lloyd's: one assignment CTE + one centroid-update
     CTE per iteration, mirroring clustering.kmeans_assignments' float
-    contract (6-dp centroid AND distance rounding, [dist, cl] tie-break)."""
+    contract (6-dp centroid AND distance rounding, [dist, cl] tie-break).
+    Returns (WITH-clause prefix, name of the final assignment CTE) so the
+    downstream cluster queries (balanced sample, purity) can share it."""
     rng = f"range(1, {dim + 1})"
 
     def assign(j: int, cprev: str) -> str:
@@ -1148,7 +1166,7 @@ c{j} AS (
         parts.append(update(j, f"c{j - 1}"))
     parts.append(assign(n_iter + 1, f"c{n_iter}"))
     body = ",".join(parts)
-    return f"""
+    ctes = f"""
 WITH e AS (
   SELECT vec_id, [embedding[i]::DOUBLE for i in {rng}] AS v
   FROM embeddings
@@ -1156,11 +1174,51 @@ WITH e AS (
 c0 AS (
   SELECT vec_id::INT AS cl, [round(x, 6) for x in v] AS cent
   FROM e WHERE vec_id < {k}
-),{body}
-SELECT vec_id, cluster FROM a{n_iter + 1} ORDER BY vec_id
+),{body}"""
+    return ctes, f"a{n_iter + 1}"
+
+
+_KM_CTES, _KM_FINAL = _kmeans_ctes(cl.KMEANS_K, cl.KMEANS_ITERS, 64)
+
+ORACLES["kmeans_clusters"] = f"""
+{_KM_CTES}
+SELECT vec_id, cluster FROM {_KM_FINAL} ORDER BY vec_id
 """
 
-
-ORACLES["kmeans_clusters"] = _kmeans_oracle(
-    cl.KMEANS_K, cl.KMEANS_ITERS, 64
+# quota selection over the SAME unrolled clustering; md5(vec_id) priority
+# is the engine-shared seeded shuffle (mixture_resample precedent).
+ORACLES["cluster_balanced_sample"] = f"""
+{_KM_CTES},
+pri AS (
+  SELECT vec_id, cluster,
+         {DUCK_HASH60.format(x="vec_id::VARCHAR")} AS pri
+  FROM {_KM_FINAL}
+),
+r AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY pri, vec_id
+         )::INT AS rank
+  FROM pri
 )
+SELECT vec_id, cluster, rank FROM r
+WHERE rank <= {cl.PER_CLUSTER}
+ORDER BY cluster, rank
+"""
+
+# majority vote via the [count, -label] lexicographic max — the exact
+# tie-break the Spark struct-max computes; integer counts divide exactly.
+ORACLES["cluster_purity"] = f"""
+{_KM_CTES},
+cells AS (
+  SELECT a.cluster, e2.label, count(*) AS c
+  FROM {_KM_FINAL} a JOIN embeddings e2 USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT cluster,
+       sum(c)::BIGINT AS n_points,
+       (-(max([c::BIGINT, -label::BIGINT]))[2])::INT AS majority_label,
+       round((max([c::BIGINT, -label::BIGINT]))[1]::DOUBLE / sum(c), 6)
+         AS purity
+FROM cells GROUP BY cluster ORDER BY cluster
+"""

@@ -91,6 +91,10 @@ SHOW = [
     ("kmeans_clusters", "final Lloyd assignment: k centroids inlined as "
      "LITERALS — join-free single scan (updates ran as (cluster,dim) "
      "partial aggs)"),
+    ("cluster_balanced_sample", "per-cluster quota: one cluster shuffle "
+     "of 3 scalar columns + rank window over the k-means assignment"),
+    ("cluster_purity", "(cluster,label) cells then k-row majority "
+     "reduction; struct-max tie-break"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
