@@ -90,7 +90,6 @@ _DRIVER_WINDOW = [
     "tpch_customer_distribution",
     # (b) last driver-checked round 2, rotated back in (oldest evidence)
     "transcripts_roundtrip",
-    "parsed_turns_pandas",
     "performance_metrics",
     "endpoint_stats_timeframe",
     "format_detection",
@@ -101,7 +100,6 @@ _DRIVER_WINDOW = [
     "turns_per_conversation",
     "tool_invocations",
     "turn_gaps",
-    "turn_ordering_check",
     "conversation_alert_rates",
     "salted_turn_counts",
     "pii_redaction",
@@ -112,7 +110,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_cosine",
     "dedup_components",
     "ann_topk_cosine",
-    "ann_ivf_fullprobe",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
     # k-means + its two downstream curation queries
@@ -121,6 +118,9 @@ _DRIVER_WINDOW = [
     "kmeans_clusters",
     "cluster_balanced_sample",
     "cluster_purity",
+    "kmeans_inertia",
+    "semdedup",
+    "dsir_weights",
 ]
 
 

@@ -80,11 +80,14 @@ def _assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     )
 
 
-def kmeans_assignments(
+def kmeans_fit(
     emb: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
-) -> DataFrame:
-    """Final (vec_id, cluster) after ``n_iter`` Lloyd iterations from the
-    deterministic init (see module docstring for the float contract)."""
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run ``n_iter`` Lloyd iterations from the deterministic init and
+    return BOTH the final (vec_id, cluster) assignment frame and the
+    final rounded centroid matrix — the k*dim driver-side metadata that
+    downstream diagnostics (inertia) and curation passes (semantic dedup)
+    need alongside the assignment."""
     # eager localCheckpoint (repo cache policy — no bare persist): the
     # 2*n_iter+1 scans below all read the same pinned materialization
     emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
@@ -121,7 +124,121 @@ def kmeans_assignments(
         cents = {i: new.get(i, cents[i]) for i in range(k)}
 
     out = _assign(emb, cents)
-    return out
+    return out, cents
+
+
+def kmeans_assignments(
+    emb: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """Final (vec_id, cluster) after ``n_iter`` Lloyd iterations from the
+    deterministic init (see module docstring for the float contract)."""
+    return kmeans_fit(emb, k, n_iter)[0]
+
+
+def kmeans_inertia(
+    emb: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """Per-cluster within-cluster sum of squared distances to the FINAL
+    centroids — the clustering-quality diagnostic (elbow curves, "did k
+    under-segment this corpus?") run before trusting cluster-level
+    curation quotas.
+
+    Output: ``(cluster, n_points, sse)``, sse = sum of the same rounded
+    squared distances the assignment argmin compares, summed in
+    DECIMAL(18,6) (partition-order-free — each distance is already a
+    6-dp value, so the decimal sum is exact) and emitted as DOUBLE.
+
+    Scale shape: one scan with the k centroids inlined as literals (the
+    `_dist2` projection — no join), then a k-row partial agg. Nothing
+    beyond the `kmeans_fit` cost itself.
+    """
+    cents = kmeans_fit(emb, k, n_iter)[1]
+    d2 = F.array_min(
+        F.array(
+            *[
+                F.array(_dist2(cents[i]), F.lit(float(i)))
+                for i in sorted(cents)
+            ]
+        )
+    )
+    per_vec = emb.select(
+        F.element_at(d2, 2).cast("int").alias("cluster"),
+        F.element_at(d2, 1).cast("decimal(18,6)").alias("d2"),
+    )
+    return per_vec.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("d2").cast("double").alias("sse"),
+    )
+
+
+SEMDEDUP_TAU = 0.45
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that only compares embeddings WITHIN a k-means cluster
+    — the published trick that turns corpus-quadratic cosine dedup into
+    sum-over-clusters quadratic.
+
+    A vector is a semantic duplicate iff some SMALLER-vec_id vector in
+    its cluster has cosine >= ``tau`` — the deterministic keep-lowest-id
+    representative policy shared with ``dedup.exact_duplicates``. (The
+    paper keeps the vector farthest from the centroid; keep-lowest-id is
+    the engine-portable equivalent policy — which member of a dup group
+    survives is arbitrary by the paper's own ablation.)
+
+    Cosine follows the repo-wide cross-engine float contract of
+    ``dedup.embedding_cosine_pairs``: dot / (||a||*||b||) with
+    left-to-right fold summation, rounded to 6 dp before the threshold
+    compare, so both engines resolve a borderline pair identically.
+
+    Output: ``(vec_id, cluster, is_dup)`` — one row per input vector;
+    downstream keeps ``NOT is_dup``.
+
+    Scale shape (100 TB): the pair join is equi-keyed on ``cluster`` —
+    a hash-partitioned self-join whose cost is sum(|cluster|^2), NOT
+    corpus^2; at 10^12 vectors raise k ~ N/target_cluster_size so the
+    per-cluster quadratic term stays constant (the paper runs k=50k on
+    LAION). The dup-id set is a vec_id semi-join back to the assignment
+    frame. No broadcast of the corpus, no BNLJ.
+    """
+    assigned = kmeans_fit(emb, k, n_iter)[0].localCheckpoint(eager=False)
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assigned, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.round(dot / (na * nb), 6) >= tau)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dup_ids, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
 
 
 PER_CLUSTER = 20

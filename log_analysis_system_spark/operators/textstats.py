@@ -329,6 +329,85 @@ def lm_unigram_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how target-like its hashed unigram features
+    are, log p_target(doc) - log p_raw(doc) under two bag-of-buckets
+    models — the standard cheap proxy for "does this web page look like
+    Wikipedia" selection before pretraining.
+
+    Feature space: tokens hashed into ``n_buckets`` buckets via the
+    engine-portable ``md5_hash60 % n_buckets`` (DSIR's hashed n-gram
+    features, unigram order here). Target corpus: documents whose
+    ``lang`` column equals ``target_lang`` (the metadata stand-in for a
+    curated reference corpus); raw corpus: all documents. Both bucket
+    models use add-one smoothing over ``n_buckets`` so buckets unseen in
+    the target stay finite:
+
+        logratio(b) = ln((c_t(b)+1)/(n_t+B)) - ln((c_r(b)+1)/(n_r+B))
+
+    Per-document weight = sum of logratio over its tokens, summed in
+    DECIMAL(28,10) (partition-order-free; the ``lm_unigram_scores``
+    cross-engine ln contract), rounded to 6 dp as DOUBLE.
+
+    Output: ``(doc_id, n_tokens, dsir_logweight)`` — one row per doc;
+    resampling under these weights is ``mixture_resample``'s job.
+
+    Scale shape (100 TB): BOTH models come out of ONE corpus scan (the
+    target count is a conditional agg of the same bucket cell — map-side
+    partial, 8-byte keys, <= B result rows), joined back into the token
+    stream as a BROADCAST of <= B rows — the corpus shuffles once on
+    doc_id for the final per-doc sum and never on text. The two totals
+    are an O(B) metadata collect off the pinned model frame.
+    """
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id", "lang", (md5_hash60(F.col("t")) % n_buckets).alias("bucket")
+    )
+    # both models in ONE corpus scan (the target count is a conditional
+    # agg of the same bucket cell); totals come from the <=B-row model
+    # frame, not extra corpus scans — lazy localCheckpoint pins it
+    cells = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.count(F.when(F.col("lang") == target_lang, 1)).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = cells.agg(F.sum("c_r"), F.sum("c_t")).collect()[0]
+    n_r, n_t = int(totals[0]), int(totals[1])
+    model = cells.select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / float(n_t + n_buckets))
+            - F.log((F.col("c_r") + 1.0) / float(n_r + n_buckets))
+        )
+        .cast("decimal(28,10)")
+        .alias("logratio"),
+    )
+    return (
+        tok.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("logratio").cast("double"), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+
+
 OOV_VOCAB_SIZE = 20
 
 

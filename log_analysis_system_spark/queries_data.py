@@ -294,6 +294,25 @@ def q_cluster_purity(spark, sf_dir):
     return cl.cluster_purity(_emb(spark, sf_dir)).orderBy("cluster")
 
 
+def q_kmeans_inertia(spark, sf_dir):
+    """Per-cluster within-cluster SSE vs the final k-means centroids —
+    the elbow-curve / segmentation-quality diagnostic; oracle = the same
+    unrolled-iteration SQL plus one literal-centroid distance scan."""
+    return cl.kmeans_inertia(_emb(spark, sf_dir)).orderBy("cluster")
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: within-k-means-cluster cosine dedup at tau=0.45 —
+    keep-lowest-vec_id representative policy, cluster-bounded pair join."""
+    return cl.semdedup(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights, target = lang='en' docs,
+    256 md5 feature buckets, add-one smoothing."""
+    return ts.dsir_weights(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_multimodal_video_features(spark, sf_dir):
     """Strided frame sampling over the synthetic VID0 clips (the stub
     container documented in operators/multimodal.py; plumbing + sampling
@@ -352,6 +371,9 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "cluster_purity": q_cluster_purity,
+    "kmeans_inertia": q_kmeans_inertia,
+    "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
 }
 
 
@@ -1221,4 +1243,70 @@ SELECT cluster,
        round((max([c::BIGINT, -label::BIGINT]))[1]::DOUBLE / sum(c), 6)
          AS purity
 FROM cells GROUP BY cluster ORDER BY cluster
+"""
+
+# same rounded squared distances the assignment argmin compares, summed
+# in DECIMAL(18,6) (each addend is already a 6-dp value -> exact sum,
+# partition-order-free on the Spark side)
+ORACLES["kmeans_inertia"] = f"""
+{_KM_CTES},
+d AS (
+  SELECT (min([round(list_sum([ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                                for i in range(1, 65)]), 6),
+               c.cl::DOUBLE]))[1] AS d2,
+         (min([round(list_sum([ (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])
+                                for i in range(1, 65)]), 6),
+               c.cl::DOUBLE]))[2]::INT AS cluster
+  FROM e, c{cl.KMEANS_ITERS} c GROUP BY vec_id
+)
+SELECT cluster, count(*)::BIGINT AS n_points,
+       CAST(sum(d2::DECIMAL(18,6)) AS DOUBLE) AS sse
+FROM d GROUP BY cluster ORDER BY cluster
+"""
+
+# SemDeDup: within-cluster pairs only; cosine rounded to 6 dp BEFORE the
+# threshold compare on both engines (the borderline-pair tie rule)
+ORACLES["semdedup"] = f"""
+{_KM_CTES},
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM {_KM_FINAL} a JOIN {_KM_FINAL} b
+       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round({_COS.format(a="ea.v", b="eb.v")}, 6) >= {cl.SEMDEDUP_TAU}
+)
+SELECT f.vec_id, f.cluster,
+       (f.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+FROM {_KM_FINAL} f ORDER BY f.vec_id
+"""
+
+# DSIR: md5-bucketed unigram features; per-token log-ratio summed in
+# DECIMAL(28,10) (the lm_unigram_score ln contract), rounded as DOUBLE
+ORACLES["dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ({DUCK_HASH60.format(x="t")}) % {ts.DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({_TOK}) AS t FROM documents)
+),
+cells AS (
+  SELECT bucket, count(*) AS c_r,
+         count(*) FILTER (lang = '{ts.DSIR_TARGET_LANG}') AS c_t
+  FROM tok GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t
+  FROM cells
+),
+model AS (
+  SELECT bucket,
+         CAST(ln((c_t + 1.0) / (n_t + {ts.DSIR_BUCKETS}))
+              - ln((c_r + 1.0) / (n_r + {ts.DSIR_BUCKETS}))
+              AS DECIMAL(28,10)) AS logratio
+  FROM cells CROSS JOIN totals
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(CAST(sum(logratio) AS DOUBLE), 6) AS dsir_logweight
+FROM tok JOIN model USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
 """

@@ -834,3 +834,86 @@ def test_cluster_purity_planted_blobs(spark):
     for r in out:
         assert r["purity"] == 1.0
         assert r["n_points"] == 9
+
+
+def test_kmeans_inertia_planted_blobs(spark):
+    from log_analysis_system_spark.operators import clustering as cl
+
+    # two planted blobs; inertia per cluster is the hand-computable sum
+    # of squared distances to the blob mean (centroids converge exactly
+    # in one step for symmetric blobs)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [2.0, 0.0]),
+        (3, [102.0, 100.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r["cluster"]: r for r in cl.kmeans_inertia(emb, k=2, n_iter=2).collect()}
+    assert set(out) == {0, 1}
+    # each blob: 2 points at +-1 from the (1, 0)-offset mean -> SSE = 2
+    for c in (0, 1):
+        assert out[c]["n_points"] == 2
+        assert abs(out[c]["sse"] - 2.0) < 1e-6
+    # inertia accounts for every vector
+    assert sum(r["n_points"] for r in out.values()) == 4
+
+
+def test_semdedup_flags_within_cluster_only(spark):
+    from log_analysis_system_spark.operators import clustering as cl
+
+    # blob A: vecs 0,2 identical direction (cos=1) -> 2 is a dup of 0.
+    # blob B: vec 1 alone. vec 3 points the SAME direction as 0 but sits
+    # in blob B spatially -> never compared against 0 (cluster-bounded).
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [2.0, 0.0]),
+        (3, [120.0, 80.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r["vec_id"]: r for r in cl.semdedup(emb, k=2, n_iter=2, tau=0.99).collect()}
+    assert len(out) == 4  # one row per input vector, kept and dup alike
+    assert out[0]["is_dup"] is False  # lowest id in its dup group survives
+    assert out[2]["is_dup"] is True   # cos(0,2)=1 >= tau, same cluster
+    assert out[1]["is_dup"] is False
+    # cos(1,3) = cos(45deg vs ~33.7deg) ~= 0.98 < 0.99 -> kept
+    assert out[3]["is_dup"] is False
+
+
+def test_semdedup_tau_loosening_is_monotone(spark):
+    from log_analysis_system_spark.operators import clustering as cl
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tight = {r["vec_id"] for r in cl.semdedup(emb, tau=0.9).collect() if r["is_dup"]}
+    loose = {r["vec_id"] for r in cl.semdedup(emb, tau=0.3).collect() if r["is_dup"]}
+    assert tight <= loose  # lowering tau only ever adds duplicates
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from log_analysis_system_spark.operators import textstats as ts
+
+    # target (en) docs use one vocabulary, off-target another; a probe
+    # doc written purely in target vocabulary must outscore one written
+    # purely in off-target vocabulary, and n_tokens must be exact
+    rows = [
+        (0, "en", "alpha beta gamma alpha beta"),
+        (1, "en", "alpha gamma delta beta gamma"),
+        (2, "xx", "zork quux blarg zork quux"),
+        (3, "xx", "blarg zork quux blarg blarg"),
+        (4, "xx", "alpha beta gamma delta"),   # target-like probe
+        (5, "xx", "zork quux blarg zork"),     # off-target probe
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["doc_id"]: r for r in ts.dsir_weights(docs).collect()}
+    assert len(out) == 6
+    assert out[4]["n_tokens"] == 4 and out[5]["n_tokens"] == 4
+    assert out[4]["dsir_logweight"] > out[5]["dsir_logweight"]
+    # en docs themselves score above the off-target docs
+    assert min(out[0]["dsir_logweight"], out[1]["dsir_logweight"]) > max(
+        out[2]["dsir_logweight"], out[3]["dsir_logweight"]
+    )
