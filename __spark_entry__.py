@@ -21,12 +21,12 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) 24 oracle-paired queries last driver-checked in round 2 whose
+(b) 21 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
 entry's most recent driver row ever exceeds the 3-round full-coverage
-cycle that 117 queries over a 50-slot window arithmetically require
+cycle that 120 queries over a 50-slot window arithmetically require
 (``tools/coverage_ledger.py`` asserts this; the round-2 entries left
-outside are the round-5 rotation's must-include list). The 17 round-2
+outside are the round-5 rotation's must-include list). The 20 round-2
 entries left outside are the ones whose semantics live inside fresher
 rows (status_counts/overall_response_stats/slow_endpoints/
 overall_error_rate/error_endpoints within
@@ -37,14 +37,17 @@ timeframe_logs/error_timeframe_logs (S10) within
 endpoint_stats_timeframe's (S11) timeframe predicate;
 enriched_role_counts within enriched_status_counts; zscore_anomalies
 within per_conv_zscore's z-score mechanics; ann_topk_cosine_np within
-ann_topk_cosine, whose output contract it shares row-for-row) — plus
+ann_topk_cosine, whose output contract it shares row-for-row;
+parsed_turns_pandas within parsed_turns's dual-engine parse,
+turn_ordering_check within turn_gaps's per-conversation ordering,
+ann_ivf_fullprobe within ann_ivf_check's recall invariant) — plus
 the three oracle-less approximate operators (ann_lsh_bucketed, ann_ivf,
 dedup_embedding_lsh) whose value evidence is their round-3-green check
 wrappers.
 
-(c) the five operators NEW in round 4 (span_dedup, token_budget_sample,
-kmeans_clusters, cluster_balanced_sample, cluster_purity) — first driver
-rows for each.
+(c) the eight operators NEW in round 4 (span_dedup, token_budget_sample,
+kmeans_clusters, cluster_balanced_sample, cluster_purity, kmeans_inertia,
+semdedup, dsir_weights) — first driver rows for each.
 
 The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
 out intact; every rotated-out query stays registered and is re-verified
