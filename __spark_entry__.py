@@ -21,12 +21,12 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) 21 oracle-paired queries last driver-checked in round 2 whose
+(b) 17 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
 entry's most recent driver row ever exceeds the 3-round full-coverage
-cycle that 120 queries over a 50-slot window arithmetically require
+cycle that 124 queries over a 50-slot window arithmetically require
 (``tools/coverage_ledger.py`` asserts this; the round-2 entries left
-outside are the round-5 rotation's must-include list). The 20 round-2
+outside are the round-5 rotation's must-include list). The 24 round-2
 entries left outside are the ones whose semantics live inside fresher
 rows (status_counts/overall_response_stats/slow_endpoints/
 overall_error_rate/error_endpoints within
@@ -40,14 +40,19 @@ within per_conv_zscore's z-score mechanics; ann_topk_cosine_np within
 ann_topk_cosine, whose output contract it shares row-for-row;
 parsed_turns_pandas within parsed_turns's dual-engine parse,
 turn_ordering_check within turn_gaps's per-conversation ordering,
-ann_ivf_fullprobe within ann_ivf_check's recall invariant) — plus
+ann_ivf_fullprobe within ann_ivf_check's recall invariant;
+turns_per_conversation within conv_skew_profile's per-conversation
+counts, turn_gaps within role_transitions' lag window,
+salted_turn_counts within salted_dim_join's salting pattern,
+dedup_exact within dedup_incremental's md5-group mechanics) — plus
 the three oracle-less approximate operators (ann_lsh_bucketed, ann_ivf,
 dedup_embedding_lsh) whose value evidence is their round-3-green check
 wrappers.
 
-(c) the eight operators NEW in round 4 (span_dedup, token_budget_sample,
+(c) the twelve operators NEW in round 4 (span_dedup, token_budget_sample,
 kmeans_clusters, cluster_balanced_sample, cluster_purity, kmeans_inertia,
-semdedup, dsir_weights) — first driver rows for each.
+semdedup, dsir_weights, gopher_rules, ccnet_buckets, token_kl_drift,
+corpus_shards) — first driver rows for each.
 
 The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
 out intact; every rotated-out query stays registered and is re-verified
@@ -100,14 +105,10 @@ _DRIVER_WINDOW = [
     "suspicious_ips",
     "unusual_methods",
     "per_conv_zscore",
-    "turns_per_conversation",
     "tool_invocations",
-    "turn_gaps",
     "conversation_alert_rates",
-    "salted_turn_counts",
     "pii_redaction",
     "enriched_status_counts",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -124,6 +125,10 @@ _DRIVER_WINDOW = [
     "kmeans_inertia",
     "semdedup",
     "dsir_weights",
+    "gopher_rules",
+    "ccnet_buckets",
+    "token_kl_drift",
+    "corpus_shards",
 ]
 
 

@@ -512,3 +512,50 @@ def token_budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
         )
         .where(F.col("cum_tokens") <= budget)
     )
+
+
+N_SHARDS = 8
+
+
+def corpus_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Training-shard plan: a deterministic global shuffle of the corpus
+    into ``n_shards`` shards with a within-shard write order — the layout
+    step between curation and the training-file writer (every LLM data
+    pipeline ends with "randomize the corpus, split it into N files, and
+    remember the order for reproducibility").
+
+    Shard assignment is ``md5_hash60(doc_id) % n_shards`` (a seeded
+    permutation both engines compute identically — no ``rand()``, stable
+    under corpus repartitioning, same policy as ``stratified_sample``);
+    ``position`` is the 1-based rank within the shard by (hash, doc_id).
+    Also emits the shard-relative inclusive token prefix sum
+    ``cum_tokens`` so the writer can cut size-bounded files without a
+    second pass.
+
+    Output: ``(doc_id, shard_id, position, n_tokens, cum_tokens)``.
+
+    Scale shape (100 TB): NO global sort — the only shuffle is the hash
+    partition on ``shard_id``, and the per-shard rank/prefix-sum window
+    sorts shards independently (corpus/n_shards rows each). Raise
+    ``n_shards`` with the corpus (production runs use thousands of
+    shards), and the sort stays executor-local. Only 3 scalar columns
+    shuffle, never text.
+    """
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    sized = docs.select(
+        "doc_id",
+        (h % n_shards).cast("int").alias("shard_id"),
+        h.alias("pri"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("pri", "doc_id")
+    return sized.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).alias("position"),
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_tokens"),
+    )

@@ -408,6 +408,185 @@ def dsir_weights(
     )
 
 
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446,
+    Table A1) — the named rule battery web-scale pretraining pipelines
+    (MassiveText, RefinedWeb, Dolma) apply before any model-based scoring.
+    Emits every rule's measured signal AND its boolean verdict, so the
+    downstream keep decision is auditable per rule rather than a single
+    opaque flag:
+
+    - ``r_word_count``: ``GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS``
+      (paper: 50..100k);
+    - ``r_mean_len``: mean word length in [3, 10] chars;
+    - ``r_symbol``: symbol-to-word ratio (``#`` and ``...`` occurrences)
+      <= 0.1;
+    - ``r_alpha``: fraction of words containing an alphabetic char >= 0.8;
+    - ``r_stopwords``: at least 2 DISTINCT stopwords present (the paper
+      uses its own 8-word English list; this engine substitutes the
+      repo-wide multilingual ``STOPWORDS`` profile so the rule is
+      meaningful on non-English docs too);
+    - ``gopher_keep``: AND of all five.
+
+    Mean word length reuses the ``quality_exprs`` identity for a
+    single-space-split text: sum(token lengths) = length(text) - (n-1),
+    exact in integer arithmetic on both engines. All ratios rounded to
+    6 dp before the threshold compare (the cross-engine float contract).
+
+    Scale shape: pure row-local codegen scan — zero shuffles, zero joins;
+    the stopword array is a query literal. This is the operator you run
+    FIRST at 100 TB, precisely because it costs one pass.
+    """
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    mean_len = F.round((F.length("text") - (n - 1)) / n, 6)
+    hashes = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ellipses = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round((hashes + ellipses) / n, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n, 6
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(t, stop_arr))
+    out = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("bigint").alias("n_distinct_stopwords"),
+    )
+    r_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_ml = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN
+    )
+    r_sy = F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO
+    r_al = F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC
+    r_st = F.col("n_distinct_stopwords") >= GOPHER_MIN_STOPWORDS
+    return out.select(
+        "*",
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_len"),
+        r_sy.alias("r_symbol"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stopwords"),
+        (r_wc & r_ml & r_sy & r_al & r_st).alias("gopher_keep"),
+    )
+
+
+CCNET_BUCKETS = ["head", "middle", "tail"]
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+    per-language head/middle/tail terciles of the unigram-LM quality score
+    (:func:`lm_unigram_scores`) — the published recipe for stratifying a
+    web crawl by fluency before choosing how much of each stratum to keep.
+
+    Deliberately the SCALE-CORRECT formulation rather than an
+    ``ntile(3)`` window: a per-language window would funnel the whole
+    corpus through (langs) partitions. Instead the two tercile cutpoints
+    per language come from an exact-``percentile`` partial agg (a
+    langs×2-value frame), broadcast back into the scored stream, and the
+    bucket is a row-local CASE — the corpus shuffles once for the
+    language-grain agg input and never sorts globally. At 10^12 docs swap
+    ``percentile`` for ``approx_percentile`` with a documented error
+    budget; the join shape is unchanged.
+
+    Determinism: scores are 6-dp-rounded by ``lm_unigram_scores``;
+    cutpoints are exact interpolated percentiles of those rounded scores,
+    themselves rounded to 6 dp before the ``<=`` compares (DuckDB
+    ``quantile_cont`` matches Spark ``percentile`` on identical input
+    multisets).
+
+    Output: ``(doc_id, lang, mean_neg_logp, bucket)``.
+    """
+    scored = lm_unigram_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile("mean_neg_logp", F.lit(1.0 / 3.0)), 6).alias("c1"),
+        F.round(F.percentile("mean_neg_logp", F.lit(2.0 / 3.0)), 6).alias("c2"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_neg_logp",
+            F.when(F.col("mean_neg_logp") <= F.col("c1"), F.lit("head"))
+            .when(F.col("mean_neg_logp") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+KL_BUCKETS = 256
+
+
+def token_kl_drift(docs: DataFrame, n_buckets: int = KL_BUCKETS) -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source || P_corpus) over
+    ``n_buckets`` hashed unigram buckets — the mixture-monitoring signal
+    that flags a source whose vocabulary usage diverges from the corpus it
+    feeds (scraper regression, language shift, spam influx) before that
+    drift reaches training. Same hashed feature space as
+    :func:`dsir_weights` (``md5_hash60 % n_buckets``).
+
+    Exact KL needs no smoothing here: buckets the source never emits
+    contribute 0 (lim x→0 of x·ln x), and every bucket the source DOES
+    emit has a nonzero corpus count because the corpus contains the
+    source. Per-bucket terms p_s·ln(p_s/p_c) are cast to DECIMAL(28,10)
+    and summed (partition-order-free), rounded to 6 dp as DOUBLE.
+
+    Output: ``(source, n_tokens, n_buckets_used, kl_nats)``.
+
+    Scale shape: ONE corpus scan reduces to (source, bucket) cells —
+    map-side partial agg, at most sources×``n_buckets`` rows survive the
+    shuffle; the corpus marginal re-aggregates those cells (no second
+    scan) and joins back broadcast. Token text never shuffles.
+    """
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("source", (md5_hash60(F.col("t")) % n_buckets).alias("bucket"))
+    cells = (
+        tok.groupBy("source", "bucket")
+        .agg(F.count("*").alias("c_s"))
+        .localCheckpoint(eager=False)
+    )
+    marg = cells.groupBy("bucket").agg(F.sum("c_s").alias("c_b"))
+    src_tot = cells.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    grand = cells.agg(F.sum("c_s").alias("n_tot"))
+    p_s = F.col("c_s") / F.col("n_s")
+    p_c = F.col("c_b") / F.col("n_tot")
+    term = (p_s * F.log(p_s / p_c)).cast("decimal(28,10)")
+    return (
+        cells.join(F.broadcast(marg), "bucket")
+        .join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_buckets_used"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl_nats"),
+        )
+    )
+
+
 OOV_VOCAB_SIZE = 20
 
 

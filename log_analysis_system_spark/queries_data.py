@@ -313,6 +313,30 @@ def q_dsir_weights(spark, sf_dir):
     return ts.dsir_weights(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (word count, mean word length, symbol
+    ratio, alpha fraction, distinct stopwords) with per-rule verdicts."""
+    return ts.gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language —
+    broadcast exact-percentile cutpoints, no per-lang global window."""
+    return ts.ccnet_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_token_kl_drift(spark, sf_dir):
+    """Per-source KL(source || corpus) over 256 hashed unigram buckets —
+    the mixture-drift monitor."""
+    return ts.token_kl_drift(_docs(spark, sf_dir)).orderBy("source")
+
+
+def q_corpus_shards(spark, sf_dir):
+    """Deterministic md5 shard plan: shard assignment, within-shard write
+    order, and the token prefix sum for size-bounded file cuts."""
+    return dp.corpus_shards(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_multimodal_video_features(spark, sf_dir):
     """Strided frame sampling over the synthetic VID0 clips (the stub
     container documented in operators/multimodal.py; plumbing + sampling
@@ -374,6 +398,10 @@ QUERIES = {
     "kmeans_inertia": q_kmeans_inertia,
     "semdedup": q_semdedup,
     "dsir_weights": q_dsir_weights,
+    "gopher_rules": q_gopher_rules,
+    "ccnet_buckets": q_ccnet_buckets,
+    "token_kl_drift": q_token_kl_drift,
+    "corpus_shards": q_corpus_shards,
 }
 
 
@@ -1309,4 +1337,114 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(CAST(sum(logratio) AS DOUBLE), 6) AS dsir_logweight
 FROM tok JOIN model USING (bucket)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+# Gopher rules: every signal replicated with the same integer identities
+# (mean word len via length(text) - (n-1); '...' count via non-overlapping
+# literal replace, = Spark's left-to-right regexp_replace), ratios rounded
+# to 6 dp BEFORE the threshold compares on both engines
+ORACLES["gopher_rules"] = f"""
+WITH base AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_words,
+         round((length(text) - (len(t) - 1))::DOUBLE / len(t), 6)
+           AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+               / len(t), 6) AS symbol_word_ratio,
+         round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / len(t), 6) AS alpha_word_frac,
+         len(list_intersect(t, {_STOP_LIST}))::BIGINT AS n_distinct_stopwords
+  FROM base
+),
+r AS (
+  SELECT *,
+         (n_words >= {ts.GOPHER_MIN_WORDS}
+          AND n_words <= {ts.GOPHER_MAX_WORDS}) AS r_word_count,
+         (mean_word_len >= {ts.GOPHER_MIN_MEAN_LEN}
+          AND mean_word_len <= {ts.GOPHER_MAX_MEAN_LEN}) AS r_mean_len,
+         (symbol_word_ratio <= {ts.GOPHER_MAX_SYMBOL_RATIO}) AS r_symbol,
+         (alpha_word_frac >= {ts.GOPHER_MIN_ALPHA_FRAC}) AS r_alpha,
+         (n_distinct_stopwords >= {ts.GOPHER_MIN_STOPWORDS}) AS r_stopwords
+  FROM m
+)
+SELECT *,
+       (r_word_count AND r_mean_len AND r_symbol AND r_alpha AND r_stopwords)
+         AS gopher_keep
+FROM r ORDER BY doc_id
+"""
+
+# CCNet terciles: same lm_unigram_score CTE chain, cutpoints =
+# quantile_cont of the 6-dp-rounded scores (= Spark exact percentile),
+# rounded 6 dp before the <= compares
+ORACLES["ccnet_buckets"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq),
+nlps AS (
+  SELECT doc_id, CAST(-ln(c::DOUBLE / n_total) AS DECIMAL(28,10)) AS nlp
+  FROM tok JOIN freq USING (t) CROSS JOIN total
+),
+scored AS (
+  SELECT doc_id, round(CAST(sum(nlp) AS DOUBLE) / count(*), 6)
+           AS mean_neg_logp
+  FROM nlps GROUP BY doc_id
+),
+langd AS (
+  SELECT s.doc_id, d.lang, s.mean_neg_logp
+  FROM scored s JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(mean_neg_logp, 1.0/3.0), 6) AS c1,
+         round(quantile_cont(mean_neg_logp, 2.0/3.0), 6) AS c2
+  FROM langd GROUP BY lang
+)
+SELECT doc_id, lang, mean_neg_logp,
+       CASE WHEN mean_neg_logp <= c1 THEN 'head'
+            WHEN mean_neg_logp <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM langd JOIN cuts USING (lang) ORDER BY doc_id
+"""
+
+# KL drift: exact (unsmoothed) KL over the DSIR bucket space; per-bucket
+# terms cast to DECIMAL(28,10) before the sum on both engines
+ORACLES["token_kl_drift"] = f"""
+WITH tok AS (
+  SELECT source, ({DUCK_HASH60.format(x="t")}) % {ts.KL_BUCKETS} AS bucket
+  FROM (SELECT source, unnest({_TOK}) AS t FROM documents)
+),
+cells AS (SELECT source, bucket, count(*) AS c_s FROM tok GROUP BY 1, 2),
+marg AS (SELECT bucket, sum(c_s) AS c_b FROM cells GROUP BY bucket),
+tot AS (SELECT source, sum(c_s) AS n_s FROM cells GROUP BY source),
+g AS (SELECT sum(c_s) AS n_tot FROM cells)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_tokens,
+       count(*)::BIGINT AS n_buckets_used,
+       round(CAST(sum(CAST((c_s / n_s) * ln((c_s / n_s) / (c_b / n_tot))
+                           AS DECIMAL(28,10))) AS DOUBLE), 6) AS kl_nats
+FROM cells JOIN marg USING (bucket) JOIN tot USING (source) CROSS JOIN g
+GROUP BY source ORDER BY source
+"""
+
+# Shard plan: md5(doc_id) is the seeded permutation on both engines; the
+# rank and prefix sum run per shard (no global sort on either side)
+ORACLES["corpus_shards"] = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(({DUCK_HASH60.format(x="doc_id::VARCHAR")}) % {dp.N_SHARDS}
+              AS INT) AS shard_id,
+         ({DUCK_HASH60.format(x="doc_id::VARCHAR")}) AS pri,
+         len({_TOK}) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       row_number() OVER w AS position,
+       n_tokens,
+       CAST(sum(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens
+FROM sized
+WINDOW w AS (PARTITION BY shard_id ORDER BY pri, doc_id)
+ORDER BY doc_id
 """

@@ -917,3 +917,101 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert min(out[0]["dsir_logweight"], out[1]["dsir_logweight"]) > max(
         out[2]["dsir_logweight"], out[3]["dsir_logweight"]
     )
+
+
+def test_gopher_rules_hand_computed(spark):
+    from log_analysis_system_spark.operators import textstats as ts
+
+    long_good = " ".join(["the", "and", "data"] * 20)  # 60 words, all pass
+    rows = [
+        (0, "en", long_good, "s"),
+        (1, "en", "the a short doc", "s"),              # fails word count
+        (2, "en", " ".join(["####"] * 60), "s"),        # symbol+stopword fail
+        (3, "en", " ".join(["the", "a"] + ["12345678901234"] * 58, ), "s"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text", "source"])
+    out = {r["doc_id"]: r for r in ts.gopher_rules(docs).collect()}
+    assert out[0]["gopher_keep"] is True
+    assert all(out[0][r] for r in
+               ["r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stopwords"])
+    assert out[1]["n_words"] == 4 and out[1]["r_word_count"] is False
+    # doc 2: 60 '####' words -> 240 symbols / 60 words = 4.0 ratio, no
+    # alpha chars, no stopwords
+    assert out[2]["symbol_word_ratio"] == 4.0
+    assert out[2]["r_symbol"] is False
+    assert out[2]["r_alpha"] is False
+    assert out[2]["r_stopwords"] is False
+    # doc 3: mean word len (2*3 + 58*14 + ... spaces identity) too long
+    assert out[3]["r_mean_len"] is False
+    assert out[3]["gopher_keep"] is False
+
+
+def test_ccnet_buckets_tercile_structure(spark):
+    from log_analysis_system_spark.operators import textstats as ts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ts.ccnet_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rows:
+            counts[r["bucket"]] += 1
+        n = len(rows)
+        # terciles: each bucket holds ~n/3 (interpolated cutpoints -> each
+        # within 1 of the exact third for distinct-ish scores)
+        for b, c in counts.items():
+            assert abs(c - n / 3) <= max(2, 0.2 * n), (lang, b, c, n)
+        # bucket boundaries are consistent: every head score <= every
+        # middle score <= every tail score
+        hs = [r["mean_neg_logp"] for r in rows if r["bucket"] == "head"]
+        ms = [r["mean_neg_logp"] for r in rows if r["bucket"] == "middle"]
+        tl = [r["mean_neg_logp"] for r in rows if r["bucket"] == "tail"]
+        if hs and ms:
+            assert max(hs) <= min(ms)
+        if ms and tl:
+            assert max(ms) <= min(tl)
+
+
+def test_token_kl_drift_zero_for_identical_sources(spark):
+    from log_analysis_system_spark.operators import textstats as ts
+
+    # two sources with IDENTICAL token distributions -> KL == 0 for both;
+    # a third, disjoint-vocabulary source gets strictly positive KL
+    same = "alpha beta gamma delta alpha beta"
+    rows = [
+        (0, "en", same, "s1"),
+        (1, "en", same, "s2"),
+        (2, "en", "zork quux blarg zork quux blarg", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text", "source"])
+    out = {r["source"]: r for r in ts.token_kl_drift(docs).collect()}
+    assert out["s1"]["kl_nats"] == out["s2"]["kl_nats"]
+    assert out["s3"]["kl_nats"] > out["s1"]["kl_nats"] > 0.0
+    # all three emit 6 tokens
+    assert all(out[s]["n_tokens"] == 6 for s in ("s1", "s2", "s3"))
+
+
+def test_corpus_shards_partition_and_prefix_sum(spark):
+    from log_analysis_system_spark.operators import datapipe as dp
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dp.corpus_shards(docs, n_shards=4).collect()
+    assert len(out) == docs.count()
+    assert {r["shard_id"] for r in out} == {0, 1, 2, 3}
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["position"])
+        # positions are 1..n dense; prefix sum is exact and inclusive
+        assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
+        run = 0
+        for r in rows:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+    # determinism: a second run yields the identical plan
+    out2 = dp.corpus_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
     "vocab_top_terms",        # 1-row total-token frame broadcast into shares
     "lm_unigram_score",       # 1-row total-token frame broadcast into -ln(p)
+    "ccnet_buckets",          # inherits lm_unigram_score's 1-row total frame
+    "token_kl_drift",         # 1-row grand-total frame broadcast into KL terms
     "embedding_quantization", # 1-row dim-range arrays broadcast into quantize
     "value_histogram",        # 1-row global-range frame broadcast into binning
     "conv_skew_profile",      # 1-row (total, n_keys) frame broadcast onto top-n

@@ -95,6 +95,20 @@ SHOW = [
      "of 3 scalar columns + rank window over the k-means assignment"),
     ("cluster_purity", "(cluster,label) cells then k-row majority "
      "reduction; struct-max tie-break"),
+    ("semdedup", "within-cluster cosine dedup: pair join equi-keyed on "
+     "cluster (sum-over-clusters quadratic, never corpus²); dup ids "
+     "return via a vec_id join, no corpus broadcast"),
+    ("dsir_weights", "both bucket models from ONE scan; <=256-row model "
+     "broadcast into the token stream; corpus shuffles once on doc_id"),
+    ("gopher_rules", "rule battery: pure row-local codegen scan — zero "
+     "shuffles, zero joins"),
+    ("ccnet_buckets", "tercile cutpoints = langs x 2 partial agg "
+     "broadcast back; bucket is a row-local CASE — no per-lang window"),
+    ("token_kl_drift", "one scan to (source,bucket) cells; marginal "
+     "re-aggregates the cells; broadcast-only joins over <=256-row "
+     "frames"),
+    ("corpus_shards", "shard plan: one hash partition on shard_id + "
+     "per-shard rank/prefix-sum window — no global sort"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
@@ -123,7 +137,7 @@ def main() -> None:
             "ann_topk_cosine", "knn_label_agreement", "lm_unigram_score",
             # 1-row broadcast build sides (dim ranges / global range / totals)
             "embedding_quantization", "value_histogram", "conv_skew_profile",
-            "tpch_no_recent_orders",
+            "tpch_no_recent_orders", "ccnet_buckets", "token_kl_drift",
         )
         if BAD.search(plan) and not allow_bnlj:
             raise SystemExit(f"unexpected join strategy in {name}:\n{plan}")
