@@ -21,12 +21,12 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) 17 oracle-paired queries last driver-checked in round 2 whose
+(b) 16 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
 entry's most recent driver row ever exceeds the 3-round full-coverage
-cycle that 124 queries over a 50-slot window arithmetically require
+cycle that 125 queries over a 50-slot window arithmetically require
 (``tools/coverage_ledger.py`` asserts this; the round-2 entries left
-outside are the round-5 rotation's must-include list). The 24 round-2
+outside are the round-5 rotation's must-include list). The 25 round-2
 entries left outside are the ones whose semantics live inside fresher
 rows (status_counts/overall_response_stats/slow_endpoints/
 overall_error_rate/error_endpoints within
@@ -44,15 +44,18 @@ ann_ivf_fullprobe within ann_ivf_check's recall invariant;
 turns_per_conversation within conv_skew_profile's per-conversation
 counts, turn_gaps within role_transitions' lag window,
 salted_turn_counts within salted_dim_join's salting pattern,
-dedup_exact within dedup_incremental's md5-group mechanics) — plus
+dedup_exact within dedup_incremental's md5-group mechanics,
+dedup_ngram_jaccard within dedup_minhash_lsh, whose oracle IS the
+exact all-pairs n-gram-Jaccard SQL) — plus
 the three oracle-less approximate operators (ann_lsh_bucketed, ann_ivf,
 dedup_embedding_lsh) whose value evidence is their round-3-green check
 wrappers.
 
-(c) the twelve operators NEW in round 4 (span_dedup, token_budget_sample,
-kmeans_clusters, cluster_balanced_sample, cluster_purity, kmeans_inertia,
-semdedup, dsir_weights, gopher_rules, ccnet_buckets, token_kl_drift,
-corpus_shards) — first driver rows for each.
+(c) the thirteen operators NEW in round 4 (span_dedup,
+token_budget_sample, kmeans_clusters, cluster_balanced_sample,
+cluster_purity, kmeans_inertia, semdedup, dsir_weights, gopher_rules,
+ccnet_buckets, token_kl_drift, corpus_shards, bpe_pair_counts) — first
+driver rows for each.
 
 The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
 out intact; every rotated-out query stays registered and is re-verified
@@ -109,7 +112,6 @@ _DRIVER_WINDOW = [
     "conversation_alert_rates",
     "pii_redaction",
     "enriched_status_counts",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
@@ -129,6 +131,7 @@ _DRIVER_WINDOW = [
     "ccnet_buckets",
     "token_kl_drift",
     "corpus_shards",
+    "bpe_pair_counts",
 ]
 
 

@@ -587,6 +587,55 @@ def token_kl_drift(docs: DataFrame, n_buckets: int = KL_BUCKETS) -> DataFrame:
     )
 
 
+BPE_TOP_PAIRS = 20
+
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = BPE_TOP_PAIRS) -> DataFrame:
+    """One BPE merge-step candidate scan (Sennrich et al. 2016,
+    arXiv:1508.07909): corpus-weighted frequencies of adjacent character
+    pairs within words — the argmax of this table IS the next merge a BPE
+    tokenizer trainer would take, and the full head is the data a
+    distributed tokenizer-training loop consumes per iteration.
+
+    Pair extraction follows the classic formulation (adjacent symbol
+    pairs inside a word; word boundaries never pair across). Each
+    DISTINCT word contributes its internal pairs weighted by the word's
+    corpus count, so a word with a repeated pair ("aaa" → "aa" twice)
+    counts multiplicity — exactly the trainer's statistics.
+
+    Output: top ``top_k`` rows ``(pair, n_occurrences)`` by
+    (count desc, pair asc) — the deterministic head.
+
+    Scale shape (100 TB): the corpus reduces to its VOCABULARY first
+    (one token-count partial agg — the same shuffle ``vocab_top_terms``
+    pays), and pair explosion runs over distinct words only: pair cost is
+    vocab-sized, not corpus-sized. The top-k head is a rank window over
+    the (≤ alphabet²-sized) pair aggregate. Corpus text shuffles once as
+    tokens, never as pairs.
+    """
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = freq.where(F.length("w") >= 2).select(
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        agg.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= top_k)
+        .select("pair", "n_occurrences")
+    )
+
+
 OOV_VOCAB_SIZE = 20
 
 

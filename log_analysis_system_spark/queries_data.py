@@ -331,6 +331,14 @@ def q_token_kl_drift(spark, sf_dir):
     return ts.token_kl_drift(_docs(spark, sf_dir)).orderBy("source")
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-step candidates: corpus-weighted adjacent-char-pair
+    frequencies, top-20 head by (count desc, pair asc)."""
+    return ts.bpe_pair_counts(_docs(spark, sf_dir)).orderBy(
+        F.desc("n_occurrences"), "pair"
+    )
+
+
 def q_corpus_shards(spark, sf_dir):
     """Deterministic md5 shard plan: shard assignment, within-shard write
     order, and the token prefix sum for size-bounded file cuts."""
@@ -402,6 +410,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "token_kl_drift": q_token_kl_drift,
     "corpus_shards": q_corpus_shards,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 
@@ -1447,4 +1456,26 @@ SELECT doc_id, shard_id,
 FROM sized
 WINDOW w AS (PARTITION BY shard_id ORDER BY pri, doc_id)
 ORDER BY doc_id
+"""
+
+# BPE merge-step: distinct-word pair explosion weighted by word counts;
+# identical substr(w, i, 2) pair extraction on both engines
+ORACLES["bpe_pair_counts"] = f"""
+WITH freq AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({_TOK}) AS w FROM documents) GROUP BY w
+),
+pairs AS (
+  SELECT c, unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair
+  FROM freq WHERE length(w) >= 2
+),
+agg AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair) AS r
+  FROM agg
+) WHERE r <= {ts.BPE_TOP_PAIRS}
+ORDER BY n_occurrences DESC, pair
 """

@@ -1015,3 +1015,17 @@ def test_corpus_shards_partition_and_prefix_sum(spark):
     # determinism: a second run yields the identical plan
     out2 = dp.corpus_shards(docs, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from log_analysis_system_spark.operators import textstats as ts
+
+    # corpus: "aaa ab" + "ab" -> words: aaa x1, ab x2
+    # pairs: aaa -> aa, aa (multiplicity!); ab x2 -> ab x2
+    rows = [(0, "en", "aaa ab", "s"), (1, "en", "ab", "s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text", "source"])
+    out = {r["pair"]: r["n_occurrences"] for r in ts.bpe_pair_counts(docs).collect()}
+    assert out == {"aa": 2, "ab": 2}
+    # top-k head is deterministic under ties: 'aa' sorts before 'ab'
+    head = ts.bpe_pair_counts(docs, top_k=1).collect()
+    assert [(r["pair"], r["n_occurrences"]) for r in head] == [("aa", 2)]

@@ -109,6 +109,8 @@ SHOW = [
      "frames"),
     ("corpus_shards", "shard plan: one hash partition on shard_id + "
      "per-shard rank/prefix-sum window — no global sort"),
+    ("bpe_pair_counts", "BPE merge-step stats: corpus reduces to vocab "
+     "first; pair explosion is vocab-sized, not corpus-sized"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
