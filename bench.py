@@ -63,6 +63,10 @@ DATA_HEADLINE = [
     "span_dedup",
     "token_budget_sample",
     "kmeans_clusters",
+    "semdedup",
+    "dsir_weights",
+    "gopher_rules",
+    "corpus_shards",
 ]
 
 

@@ -6,8 +6,9 @@ dynamic-partition-overwrite sinks) so one architecture serves both
 workloads. Three stages with log-pipeline-matching recovery granularity:
 
 - **score** (per-bucket, resumable bucket-by-bucket): every ROW-LOCAL
-  signal in ONE scan — token stats, quality rules + keep flag, language
-  ID, deterministic train/val/test split (the shared expression families
+  signal in ONE scan — token stats, quality rules + keep flag, the
+  Gopher rule battery + ``gopher_keep`` verdict, language ID,
+  deterministic train/val/test split (the shared expression families
   from ``operators/textstats.py``, so formulas exist once). Sink:
   ``doc_scores`` (bucket-partitioned, idempotent per-bucket overwrite).
 - **dedup** (global, all-or-nothing — near-dup discovery is global by
@@ -35,12 +36,20 @@ from . import state as st
 from .functions.texthash import tokens
 from .operators import dedup as dd
 from .operators.textstats import (
+    gopher_exprs,
+    gopher_keep_expr,
     language_exprs,
     language_pred_expr,
     quality_exprs,
     quality_keep_expr,
     split_exprs,
 )
+
+# the Gopher signals that aren't already carried by the quality family
+# (n_words == n_tokens and mean_word_len == mean_token_len by shared
+# formula, so the verdict reads those columns instead of duplicating them)
+_GOPHER_REMAP = {"n_words": "n_tokens", "mean_word_len": "mean_token_len"}
+_GOPHER_EXTRA = ("symbol_word_ratio", "alpha_word_frac")
 from .sources import catalog
 
 
@@ -78,6 +87,7 @@ def score_projection(docs: DataFrame, n_buckets: int) -> DataFrame:
         "doc_id", "lang", "source", "text", tokens(F.col("text")).alias("t")
     )
     q = quality_exprs(F.col("t"))
+    g = gopher_exprs(F.col("t"))
     l_ = language_exprs(F.col("t"))
     langs = list(l_)
     _, split = split_exprs()
@@ -87,6 +97,7 @@ def score_projection(docs: DataFrame, n_buckets: int) -> DataFrame:
         "source",
         _bucket(n_buckets).alias("bucket"),
         *(expr.alias(name) for name, expr in q.items()),
+        *(g[name].alias(name) for name in _GOPHER_EXTRA),
         F.length("text").alias("n_chars"),
         *(expr.alias(name) for name, expr in l_.items()),
         split.alias("split"),
@@ -101,8 +112,10 @@ def score_projection(docs: DataFrame, n_buckets: int) -> DataFrame:
         "mean_token_len",
         "alpha_ratio",
         "n_distinct_stopwords",
+        *_GOPHER_EXTRA,
         "n_chars",
         quality_keep_expr().alias("quality_keep"),
+        gopher_keep_expr(_GOPHER_REMAP).alias("gopher_keep"),
         language_pred_expr().alias("pred_lang"),
         "split",
         *(F.round(F.col(c), 6).alias(c) for c in langs),

@@ -208,20 +208,28 @@ def semdedup(
     frame. No broadcast of the corpus, no BNLJ.
     """
     assigned = kmeans_fit(emb, k, n_iter)[0].localCheckpoint(eager=False)
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).join(assigned, "vec_id")
+    # norm computed ONCE per vector (bitwise-identical to a per-pair
+    # recompute of the same fold — pure expression over the same input)
+    # and the joined+normed frame pinned so the pair join's two sides
+    # don't each re-run the emb x assignment join
+    v = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .join(assigned, "vec_id")
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(F.col("a.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.col("b.v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     dup_ids = (
         a.join(
@@ -229,7 +237,7 @@ def semdedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(F.round(dot / (na * nb), 6) >= tau)
+        .where(F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6) >= tau)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))

@@ -446,46 +446,68 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     the stopword array is a query literal. This is the operator you run
     FIRST at 100 TB, precisely because it costs one pass.
     """
-    t = tokens(F.col("text"))
+    g = gopher_exprs(tokens(F.col("text")))
+    out = docs.select(
+        "doc_id", *(expr.alias(name) for name, expr in g.items())
+    )
+    rules = gopher_rule_exprs()
+    return out.select(
+        "*",
+        *(expr.alias(name) for name, expr in rules.items()),
+        gopher_keep_expr().alias("gopher_keep"),
+    )
+
+
+def gopher_exprs(t) -> dict[str, "F.Column"]:
+    """The Gopher signal expression family over a token-array expression
+    ``t`` — shared by :func:`gopher_rules` and the corpus pipeline's
+    one-scan score projection (``corpus_pipeline.score_projection``), so
+    each formula exists exactly once. ``n_words`` / ``mean_word_len``
+    intentionally share ``quality_exprs``'s n_tokens / mean-token-length
+    identities (same single-space-split arithmetic)."""
     n = F.size(t)
-    mean_len = F.round((F.length("text") - (n - 1)) / n, 6)
     hashes = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
     ellipses = (
         F.length("text")
         - F.length(F.regexp_replace("text", r"\.\.\.", ""))
     ) / 3
-    symbol_ratio = F.round((hashes + ellipses) / n, 6)
-    alpha_frac = F.round(
-        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n, 6
-    )
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.array_intersect(t, stop_arr))
-    out = docs.select(
-        "doc_id",
-        n.cast("bigint").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.cast("bigint").alias("n_distinct_stopwords"),
-    )
-    r_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
-        F.col("n_words") <= GOPHER_MAX_WORDS
-    )
-    r_ml = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN) & (
-        F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN
-    )
-    r_sy = F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO
-    r_al = F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC
-    r_st = F.col("n_distinct_stopwords") >= GOPHER_MIN_STOPWORDS
-    return out.select(
-        "*",
-        r_wc.alias("r_word_count"),
-        r_ml.alias("r_mean_len"),
-        r_sy.alias("r_symbol"),
-        r_al.alias("r_alpha"),
-        r_st.alias("r_stopwords"),
-        (r_wc & r_ml & r_sy & r_al & r_st).alias("gopher_keep"),
-    )
+    return {
+        "n_words": n.cast("bigint"),
+        "mean_word_len": F.round((F.length("text") - (n - 1)) / n, 6),
+        "symbol_word_ratio": F.round((hashes + ellipses) / n, 6),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n, 6
+        ),
+        "n_distinct_stopwords": F.size(F.array_intersect(t, stop_arr)).cast(
+            "bigint"
+        ),
+    }
+
+
+def gopher_rule_exprs(cols: dict[str, str] | None = None) -> dict[str, "F.Column"]:
+    """Per-rule verdicts over already-selected signal columns. ``cols``
+    remaps a signal to a differently-named column carrying the same
+    formula (the score projection reuses quality's ``n_tokens`` /
+    ``mean_token_len`` for ``n_words`` / ``mean_word_len``)."""
+    c = lambda k: F.col((cols or {}).get(k, k))  # noqa: E731
+    return {
+        "r_word_count": (c("n_words") >= GOPHER_MIN_WORDS)
+        & (c("n_words") <= GOPHER_MAX_WORDS),
+        "r_mean_len": (c("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
+        & (c("mean_word_len") <= GOPHER_MAX_MEAN_LEN),
+        "r_symbol": c("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_alpha": c("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC,
+        "r_stopwords": c("n_distinct_stopwords") >= GOPHER_MIN_STOPWORDS,
+    }
+
+
+def gopher_keep_expr(cols: dict[str, str] | None = None) -> "F.Column":
+    """AND of all five rule verdicts (same column remap contract)."""
+    out = F.lit(True)
+    for expr in gopher_rule_exprs(cols).values():
+        out = out & expr
+    return out
 
 
 CCNET_BUCKETS = ["head", "middle", "tail"]

@@ -137,3 +137,29 @@ def test_corpus_cli(spark, tmp_path, capsys):
     assert summary["run_id"] == "cli-corpus"
     assert summary["stages_ran"] == ["score", "dedup", "finalize"]
     assert summary["sink_counts"]["corpus_decisions"] > 0
+
+
+def test_score_stage_gopher_matches_standalone(spark, docs, run):
+    out, _ = run
+    scores = _read(spark, out, "doc_scores")
+    got = {
+        (
+            r["doc_id"],
+            r["symbol_word_ratio"],
+            r["alpha_word_frac"],
+            r["gopher_keep"],
+        )
+        for r in scores.select(
+            "doc_id", "symbol_word_ratio", "alpha_word_frac", "gopher_keep"
+        ).collect()
+    }
+    want = {
+        (
+            r["doc_id"],
+            r["symbol_word_ratio"],
+            r["alpha_word_frac"],
+            r["gopher_keep"],
+        )
+        for r in ts.gopher_rules(docs).collect()
+    }
+    assert got == want
