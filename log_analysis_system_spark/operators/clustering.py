@@ -38,7 +38,7 @@ cache-local.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 KMEANS_K = 10
 KMEANS_ITERS = 3
@@ -247,6 +247,84 @@ def semdedup(
         "cluster",
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
     )
+
+
+CONTRASTIVE_POS_TAU = 0.45
+CONTRASTIVE_NEG_TAU = 0.05
+CONTRASTIVE_NEG_PER_ANCHOR = 2
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    pos_tau: float = CONTRASTIVE_POS_TAU,
+    neg_tau: float = CONTRASTIVE_NEG_TAU,
+    neg_per_anchor: int = CONTRASTIVE_NEG_PER_ANCHOR,
+) -> DataFrame:
+    """Contrastive training-pair mining (the SimCSE/E5-style corpus prep
+    for embedding-model training): positives = near-duplicate pairs
+    (cosine >= ``pos_tau``), hard negatives = pairs that share a k-means
+    cluster (spatially close — that's what makes them HARD) yet are
+    semantically dissimilar (cosine <= ``neg_tau``), capped at
+    ``neg_per_anchor`` per anchor by the deterministic
+    (cosine asc, id_b asc) order.
+
+    Both sides are cluster-bounded (the SemDeDup trick): positives that
+    straddle a cluster boundary are forfeited for the same
+    sum-over-clusters-quadratic cost bound — the paper-standard recall
+    tradeoff, and at 10^12 vectors the k ∝ N recipe applies unchanged.
+    Cosine follows the repo-wide 6-dp round-before-compare contract.
+
+    Output: ``(id_a, id_b, cosine, label)`` with ``id_a < id_b`` and
+    label ∈ {'positive', 'hard_negative'} (disjoint by threshold).
+
+    Scale shape: one cluster-equi-keyed pair join (norms precomputed per
+    vector, frame pinned — the :func:`semdedup` plan), then a per-anchor
+    rank window over the already-thresholded negative candidates. No
+    corpus broadcast, no BNLJ.
+    """
+    assigned = kmeans_fit(emb, k, n_iter)[0].localCheckpoint(eager=False)
+    v = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .join(assigned, "vec_id")
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+    )
+    pos = pairs.where(F.col("cosine") >= pos_tau).withColumn(
+        "label", F.lit("positive")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.asc("cosine"), F.asc("id_b"))
+    neg = (
+        pairs.where(F.col("cosine") <= neg_tau)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= neg_per_anchor)
+        .drop("r")
+        .withColumn("label", F.lit("hard_negative"))
+    )
+    return pos.unionByName(neg)
 
 
 PER_CLUSTER = 20

@@ -609,6 +609,67 @@ def token_kl_drift(docs: DataFrame, n_buckets: int = KL_BUCKETS) -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN token distribution,
+    plus the length-normalized variant — the lexical-diversity quality
+    signal (low entropy = keyboard mash / repeated boilerplate; the
+    repetition-filter companion used alongside the Gopher rules).
+
+    - ``entropy_nats`` = −Σ_w p_w·ln(p_w) over the doc's distinct tokens
+      (p_w = count_w / n_tokens);
+    - ``norm_entropy`` = entropy / ln(n_distinct) ∈ [0,1] (1 = all tokens
+      distinct-uniform; NULL when the doc has a single distinct token —
+      both engines agree ln(1)=0 division yields NULL under
+      try-division semantics, so the column is explicitly guarded).
+
+    Cross-engine: per-token terms cast to DECIMAL(28,10) and summed
+    (partition-order-free), rounded to 6 dp as DOUBLE; the normalized
+    form divides the two ROUNDED doubles and re-rounds (so both engines
+    divide identical inputs).
+
+    Scale shape: explode → (doc_id, token) count partial agg → doc_id
+    rollup. Two shuffles on 8-byte-ish keys, text never wider than one
+    token; no joins, no broadcast.
+    """
+    cell = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = cell.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.collect_list(F.col("c")).alias("cs"),
+    )
+    # entropy from the doc-local count vector: p = c/n, term = -p ln p;
+    # the fold runs row-local over a vector bounded by the doc's distinct
+    # count (the same bound collect_list already has in centroids D19)
+    term_sum = F.aggregate(
+        "cs",
+        F.lit(0.0).cast("decimal(28,10)"),
+        # re-cast after the add: decimal + decimal widens to (29,10) and
+        # the fold accumulator type must stay fixed. The cast is lossless
+        # here (terms are <= ln(n) ~ 30, far inside 18 integer digits).
+        lambda acc, c: (
+            acc
+            + (
+                -(c / F.col("n_tokens")) * F.log(c / F.col("n_tokens"))
+            ).cast("decimal(28,10)")
+        ).cast("decimal(28,10)"),
+    )
+    h = F.round(term_sum.cast("double"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        h.alias("entropy_nats"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(h / F.round(F.log(F.col("n_distinct").cast("double")), 6), 6),
+        ).alias("norm_entropy"),
+    )
+
+
 BPE_TOP_PAIRS = 20
 
 

@@ -331,6 +331,20 @@ def q_token_kl_drift(spark, sf_dir):
     return ts.token_kl_drift(_docs(spark, sf_dir)).orderBy("source")
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the doc's own token distribution +
+    the /ln(n_distinct)-normalized variant."""
+    return ts.token_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive pair mining: cluster-bounded positives (cos>=0.45) +
+    per-anchor-capped hard negatives (same cluster, cos<=0.05)."""
+    return cl.contrastive_pairs(_emb(spark, sf_dir)).orderBy(
+        "id_a", "id_b", "label"
+    )
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """BPE merge-step candidates: corpus-weighted adjacent-char-pair
     frequencies, top-20 head by (count desc, pair asc)."""
@@ -411,6 +425,8 @@ QUERIES = {
     "token_kl_drift": q_token_kl_drift,
     "corpus_shards": q_corpus_shards,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "token_entropy": q_token_entropy,
+    "contrastive_pairs": q_contrastive_pairs,
 }
 
 
@@ -1478,4 +1494,58 @@ SELECT pair, n_occurrences FROM (
   FROM agg
 ) WHERE r <= {ts.BPE_TOP_PAIRS}
 ORDER BY n_occurrences DESC, pair
+"""
+
+# Token entropy: per-(doc,token) cells, -p ln p terms in DECIMAL(28,10);
+# the normalized form divides the two 6-dp-rounded doubles on both engines
+ORACLES["token_entropy"] = f"""
+WITH cell AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest({_TOK}) AS w FROM documents) GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c) AS n FROM cell GROUP BY doc_id),
+terms AS (
+  SELECT doc_id, n,
+         CAST(-(c::DOUBLE / n) * ln(c::DOUBLE / n) AS DECIMAL(28,10)) AS term
+  FROM cell JOIN tot USING (doc_id)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         count(*)::BIGINT AS n_distinct,
+         round(CAST(sum(term) AS DOUBLE), 6) AS entropy_nats
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, entropy_nats,
+       CASE WHEN n_distinct > 1
+            THEN round(entropy_nats / round(ln(n_distinct), 6), 6)
+       END AS norm_entropy
+FROM agg ORDER BY doc_id
+"""
+
+# Contrastive pairs: cluster-bounded pair frame shared with semdedup's
+# oracle; negatives capped per anchor by the (cosine asc, id_b) window
+ORACLES["contrastive_pairs"] = f"""
+{_KM_CTES},
+pv AS (
+  SELECT f.vec_id, f.cluster, e.v
+  FROM {_KM_FINAL} f JOIN e ON e.vec_id = f.vec_id
+),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_COS.format(a="a.v", b="b.v")}, 6) AS cosine
+  FROM pv a JOIN pv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+pos AS (
+  SELECT id_a, id_b, cosine, 'positive' AS label
+  FROM pr WHERE cosine >= {cl.CONTRASTIVE_POS_TAU}
+),
+neg AS (
+  SELECT id_a, id_b, cosine, 'hard_negative' AS label FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+                                 ORDER BY cosine, id_b) AS r
+    FROM pr WHERE cosine <= {cl.CONTRASTIVE_NEG_TAU}
+  ) WHERE r <= {cl.CONTRASTIVE_NEG_PER_ANCHOR}
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg ORDER BY id_a, id_b, label
 """

@@ -1029,3 +1029,48 @@ def test_bpe_pair_counts_hand_computed(spark):
     # top-k head is deterministic under ties: 'aa' sorts before 'ab'
     head = ts.bpe_pair_counts(docs, top_k=1).collect()
     assert [(r["pair"], r["n_occurrences"]) for r in head] == [("aa", 2)]
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from log_analysis_system_spark.operators import textstats as ts
+
+    rows = [
+        (0, "en", "a a a a", "s"),        # single distinct token: H=0
+        (1, "en", "a b a b", "s"),        # two tokens, uniform: H=ln 2
+        (2, "en", "a b c d", "s"),        # all distinct: norm entropy 1.0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text", "source"])
+    out = {r["doc_id"]: r for r in ts.token_entropy(docs).collect()}
+    assert out[0]["entropy_nats"] == 0.0
+    assert out[0]["norm_entropy"] is None  # ln(1) guard
+    assert out[1]["entropy_nats"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[1]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["entropy_nats"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out[2]["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["n_tokens"] == 4 and out[2]["n_distinct"] == 4
+
+
+def test_contrastive_pairs_structure(spark):
+    from log_analysis_system_spark.operators import clustering as cl
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = cl.contrastive_pairs(emb).collect()
+    pos = [r for r in out if r["label"] == "positive"]
+    neg = [r for r in out if r["label"] == "hard_negative"]
+    assert pos, "corpus plants near-dups — positives must exist"
+    assert neg, "random 64-d vectors give ~0 cosine — negatives must exist"
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+    for r in pos:
+        assert r["cosine"] >= cl.CONTRASTIVE_POS_TAU
+    # per-anchor cap holds
+    per_anchor = {}
+    for r in neg:
+        assert r["cosine"] <= cl.CONTRASTIVE_NEG_TAU
+        per_anchor[r["id_a"]] = per_anchor.get(r["id_a"], 0) + 1
+    assert max(per_anchor.values()) <= cl.CONTRASTIVE_NEG_PER_ANCHOR
+    # label sets are disjoint by threshold
+    assert not ({(r["id_a"], r["id_b"]) for r in pos}
+                & {(r["id_a"], r["id_b"]) for r in neg})
