@@ -67,6 +67,9 @@ DATA_HEADLINE = [
     "dsir_weights",
     "gopher_rules",
     "corpus_shards",
+    "bpe_pair_counts",
+    "token_entropy",
+    "contrastive_pairs",
 ]
 
 

@@ -352,3 +352,41 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_corpus_score(
+    stream_docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """Streaming corpus scoring — curation at ingestion: every arriving
+    micro-batch of documents gets the SAME one-scan row-local score
+    projection as the batch pipeline's score stage (token/quality stats,
+    the Gopher rule battery + ``gopher_keep``, language ID, deterministic
+    split — ``corpus_pipeline.score_projection``, shared verbatim), and
+    appends to the ``doc_scores_stream`` parquet sink.
+
+    Because every signal is row-local (zero shuffles, zero state), the
+    projection is stream-safe as a plain transformation: no foreachBatch,
+    no watermark, no state store — the micro-batch IS the unit of work,
+    and exactly-once follows from the file sink's transactional commit
+    log. Per-batch cost tracks the batch alone; this is the 100 TB shape
+    where scoring rides the ingest stream and only documents passing
+    ``gopher_keep``/``quality_keep`` ever reach the (much costlier)
+    global dedup stage. Returns the started StreamingQuery.
+
+    Batch equivalence is asserted in tests: draining the stream over a
+    corpus directory produces row-for-row the batch ``score_projection``
+    of the same corpus.
+    """
+    from ..corpus_pipeline import score_projection
+
+    scored = score_projection(stream_docs, n_buckets)
+    return (
+        scored.writeStream.format("parquet")
+        .option("path", f"{output_dir}/doc_scores_stream")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

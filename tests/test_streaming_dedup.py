@@ -116,3 +116,29 @@ def test_replayed_batch_is_idempotent(spark, split_docs, tmp_path):
     assert (
         catalog.read_table(spark, out, "near_dup_matches").count() == 2 * n_once
     )
+
+
+def test_streaming_corpus_score_matches_batch(spark, split_docs, tmp_path):
+    """Draining the score stream over a corpus feed yields row-for-row the
+    batch score_projection of the same corpus — the shared-projection
+    guarantee that makes 'curate at ingestion' safe."""
+    from log_analysis_system_spark.corpus_pipeline import score_projection
+
+    feed, _, new = split_docs
+    out = tmp_path / "score_out"
+    ckpt = tmp_path / "score_ckpt"
+    stream = sp.read_document_stream(spark, feed, max_files_per_trigger=2)
+    q = sp.streaming_corpus_score(stream, str(out), str(ckpt))
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(out / "doc_scores_stream")).collect()
+    }
+    want = {tuple(r) for r in score_projection(new, 16).collect()}
+    assert got == want and got
+    # restart over the same feed: availableNow + checkpoint -> no new rows
+    stream2 = sp.read_document_stream(spark, feed, max_files_per_trigger=2)
+    q2 = sp.streaming_corpus_score(stream2, str(out), str(ckpt))
+    q2.awaitTermination(120)
+    again = spark.read.parquet(str(out / "doc_scores_stream")).count()
+    assert again == len(got)
