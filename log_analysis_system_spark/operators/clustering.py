@@ -313,18 +313,27 @@ def contrastive_pairs(
         F.col("b.vec_id").alias("id_b"),
         F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
     )
-    pos = pairs.where(F.col("cosine") >= pos_tau).withColumn(
-        "label", F.lit("positive")
+    # ONE pass over the pair frame: label both sides in the same
+    # projection, rank within (label, id_a) — for negatives this is the
+    # same per-anchor rank as a negatives-only window (the group contains
+    # exactly the thresholded candidates), and positives pass unfiltered.
+    # Splitting into two branches would compute the pair dots twice.
+    lab = pairs.withColumn(
+        "label",
+        F.when(F.col("cosine") >= pos_tau, F.lit("positive")).when(
+            F.col("cosine") <= neg_tau, F.lit("hard_negative")
+        ),
+    ).where(F.col("label").isNotNull())
+    w = Window.partitionBy("label", "id_a").orderBy(
+        F.asc("cosine"), F.asc("id_b")
     )
-    w = Window.partitionBy("id_a").orderBy(F.asc("cosine"), F.asc("id_b"))
-    neg = (
-        pairs.where(F.col("cosine") <= neg_tau)
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= neg_per_anchor)
-        .drop("r")
-        .withColumn("label", F.lit("hard_negative"))
+    return (
+        lab.withColumn("r", F.row_number().over(w))
+        .where(
+            (F.col("label") == "positive") | (F.col("r") <= neg_per_anchor)
+        )
+        .select("id_a", "id_b", "cosine", "label")
     )
-    return pos.unionByName(neg)
 
 
 PER_CLUSTER = 20
