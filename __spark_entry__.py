@@ -21,12 +21,12 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) 14 oracle-paired queries last driver-checked in round 2 whose
+(b) 12 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
 entry's most recent driver row ever exceeds the 3-round full-coverage
-cycle that 127 queries over a 50-slot window arithmetically require
+cycle that 129 queries over a 50-slot window arithmetically require
 (``tools/coverage_ledger.py`` asserts this; the round-2 entries left
-outside are the round-5 rotation's must-include list). The 27 round-2
+outside are the round-5 rotation's must-include list). The 29 round-2
 entries left outside are the ones whose semantics live inside fresher
 rows (status_counts/overall_response_stats/slow_endpoints/
 overall_error_rate/error_endpoints within
@@ -49,16 +49,20 @@ dedup_ngram_jaccard within dedup_minhash_lsh, whose oracle IS the
 exact all-pairs n-gram-Jaccard SQL; unusual_methods within
 endpoint_method_rollup's two-key grouping; dedup_embedding_cosine
 within dedup_embedding_lsh_check's exact side and semdedup /
-contrastive_pairs' shared cosine contract) — plus
+contrastive_pairs' shared cosine contract; dedup_components within
+dup_cluster_sizes, whose oracle re-derives the full recursive component
+computation; ann_topk_cosine within ann_lsh_check / ann_ivf_check's
+exact-baseline side) — plus
 the three oracle-less approximate operators (ann_lsh_bucketed, ann_ivf,
 dedup_embedding_lsh) whose value evidence is their round-3-green check
 wrappers.
 
-(c) the fifteen operators NEW in round 4 (span_dedup,
+(c) the seventeen operators NEW in round 4 (span_dedup,
 token_budget_sample, kmeans_clusters, cluster_balanced_sample,
 cluster_purity, kmeans_inertia, semdedup, dsir_weights, gopher_rules,
 ccnet_buckets, token_kl_drift, corpus_shards, bpe_pair_counts,
-token_entropy, contrastive_pairs) — first driver rows for each.
+token_entropy, contrastive_pairs, split_leakage, dup_cluster_sizes) —
+first driver rows for each.
 
 The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
 out intact; every rotated-out query stays registered and is re-verified
@@ -115,8 +119,6 @@ _DRIVER_WINDOW = [
     "pii_redaction",
     "enriched_status_counts",
     "dedup_simhash",
-    "dedup_components",
-    "ann_topk_cosine",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
     # k-means + its two downstream curation queries
@@ -135,6 +137,8 @@ _DRIVER_WINDOW = [
     "bpe_pair_counts",
     "token_entropy",
     "contrastive_pairs",
+    "split_leakage",
+    "dup_cluster_sizes",
 ]
 
 

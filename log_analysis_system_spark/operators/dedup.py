@@ -764,3 +764,68 @@ def span_dup_stats(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
             ).alias("dup_span_ratio"),
         )
     )
+
+
+def split_leakage(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Train/test contamination audit: every verified near-dup pair,
+    annotated with the two documents' dataset splits and an ``is_leak``
+    flag (splits differ) — the eval-hygiene check run before trusting any
+    held-out metric (a test doc with a near-duplicate in train inflates
+    eval; the GPT-3/PaLM appendices' motivating failure).
+
+    Composition of two already-verified stages: the MinHash/LSH pair
+    stream (exact-Jaccard verified, recall-gated) joined to the
+    deterministic md5-bucket split assignment (``textstats.
+    dataset_split``). Output: ``(id_a, id_b, jaccard, split_a, split_b,
+    is_leak)`` — one row per near-dup pair; the per-(split, split) rollup
+    is a trivial aggregate of this frame.
+
+    Scale shape: the split frame is (doc_id, 8-byte split) — two
+    hash-equi joins on doc_id against the (much smaller) pair frame; the
+    corpus itself is only scanned by the pair stage.
+    """
+    from .textstats import dataset_split
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    s = dataset_split(docs).select("doc_id", "split")
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
+def dup_cluster_sizes(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup components of
+    each size the corpus contains (singletons included) — the dedup audit
+    metric that distinguishes "a few giant boilerplate clusters" (one
+    template stamped 10^6 times; fix the scraper) from "long tail of
+    pairwise near-dups" (normal web noise), and the first thing to read
+    before choosing a keep policy.
+
+    Output: ``(cluster_size, n_clusters)``, one row per distinct size.
+
+    Scale shape: rides :func:`dedup_components` (label propagation over
+    the pair graph), then two partial aggs — (canonical_id) sizes, then a
+    ≤max-size-row histogram. Nothing beyond the components cost.
+    """
+    comp = dedup_components(docs, threshold=threshold)
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )

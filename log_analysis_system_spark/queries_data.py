@@ -331,6 +331,18 @@ def q_token_kl_drift(spark, sf_dir):
     return ts.token_kl_drift(_docs(spark, sf_dir)).orderBy("source")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test contamination audit: near-dup pairs annotated with both
+    docs' splits and an is_leak flag."""
+    return dd.split_leakage(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Near-dup component size histogram (singletons included) — the
+    dedup audit read before choosing a keep policy."""
+    return dd.dup_cluster_sizes(_docs(spark, sf_dir)).orderBy("cluster_size")
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the doc's own token distribution +
     the /ln(n_distinct)-normalized variant."""
@@ -427,6 +439,8 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "token_entropy": q_token_entropy,
     "contrastive_pairs": q_contrastive_pairs,
+    "split_leakage": q_split_leakage,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
 }
 
 
@@ -1549,3 +1563,53 @@ neg AS (
 )
 SELECT * FROM pos UNION ALL SELECT * FROM neg ORDER BY id_a, id_b, label
 """
+
+# Split leakage: exact-Jaccard pair set (the minhash gate's oracle)
+# joined to the md5-bucket split assignment
+ORACLES["split_leakage"] = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, len(ts) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= {dd.JACCARD_THRESHOLD}
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN ({DUCK_HASH60.format(x="doc_id::VARCHAR")} % 100)
+                   < {ts.SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ({DUCK_HASH60.format(x="doc_id::VARCHAR")} % 100)
+                   < {ts.SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT id_a, id_b, jaccard,
+       a.split AS split_a, b.split AS split_b,
+       (a.split <> b.split) AS is_leak
+FROM jac JOIN spl a ON a.doc_id = id_a JOIN spl b ON b.doc_id = id_b
+ORDER BY id_a, id_b
+"""
+
+# Cluster-size histogram over the full recursive component computation —
+# a components bug anywhere breaks the histogram
+ORACLES["dup_cluster_sizes"] = (
+    "WITH RECURSIVE "
+    + _SH_CTE.strip()
+    + _COMPONENT_TAIL_CTES
+    + """
+, comp AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+cs AS (
+  SELECT canonical_id, count(*)::BIGINT AS cluster_size
+  FROM comp GROUP BY canonical_id
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM cs GROUP BY cluster_size ORDER BY cluster_size
+"""
+)

@@ -1074,3 +1074,32 @@ def test_contrastive_pairs_structure(spark):
     # label sets are disjoint by threshold
     assert not ({(r["id_a"], r["id_b"]) for r in pos}
                 & {(r["id_a"], r["id_b"]) for r in neg})
+
+
+def test_split_leakage_flags_cross_split_pairs(spark):
+    from log_analysis_system_spark.operators import dedup as dd2
+    from log_analysis_system_spark.operators import textstats as ts2
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = dd2.split_leakage(docs).collect()
+    # one audit row per verified near-dup pair
+    pairs = dd2.minhash_lsh_pairs(docs).collect()
+    assert len(out) == len(pairs) and out
+    split = {r["doc_id"]: r["split"] for r in ts2.dataset_split(docs).collect()}
+    for r in out:
+        assert r["split_a"] == split[r["id_a"]]
+        assert r["split_b"] == split[r["id_b"]]
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
+
+
+def test_dup_cluster_sizes_conservation(spark):
+    from log_analysis_system_spark.operators import dedup as dd2
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dd2.dup_cluster_sizes(docs).collect()
+    n = docs.count()
+    # histogram conserves the corpus: sum(size * n_clusters) == n_docs
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in out) == n
+    # the planted near-dups mean at least one non-singleton cluster
+    assert any(r["cluster_size"] >= 2 for r in out)
+    assert all(r["n_clusters"] >= 1 for r in out)
