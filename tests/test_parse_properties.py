@@ -151,3 +151,44 @@ def test_pii_redaction_leaves_no_residual_matches_and_is_idempotent(
     )
     twice = {r["turn_idx"]: r["redacted"] for r in pii_redaction(twice_df).collect()}
     assert twice == rows
+
+
+# ---- text-operator invariants over arbitrary corpora -----------------
+
+WORD = st.text(alphabet="abcdefgh#.0", min_size=1, max_size=6)
+DOC = st.lists(WORD, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=12))
+def test_entropy_and_gopher_invariants(spark, texts):
+    """For ANY corpus: 0 <= entropy <= ln(n_distinct) (+6dp rounding
+    slack), normalized entropy in [0,1], every Gopher ratio is sane, and
+    gopher_keep equals the AND of its rule columns."""
+    import math
+
+    from log_analysis_system_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(i, "en", t, "s") for i, t in enumerate(texts)],
+        ["doc_id", "lang", "text", "source"],
+    )
+    ent = ts.token_entropy(docs).collect()
+    assert len(ent) == len(texts)
+    for r in ent:
+        assert -1e-6 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-6
+        if r["n_distinct"] > 1:
+            assert -1e-6 <= r["norm_entropy"] <= 1.0 + 1e-6
+        else:
+            assert r["norm_entropy"] is None
+    gop = ts.gopher_rules(docs).collect()
+    assert len(gop) == len(texts)
+    for r in gop:
+        assert r["n_words"] >= 1
+        assert 0.0 <= r["alpha_word_frac"] <= 1.0
+        assert r["symbol_word_ratio"] >= 0.0
+        assert r["mean_word_len"] >= 0.0
+        assert r["gopher_keep"] == (
+            r["r_word_count"] and r["r_mean_len"] and r["r_symbol"]
+            and r["r_alpha"] and r["r_stopwords"]
+        )
