@@ -111,6 +111,15 @@ SHOW = [
      "per-shard rank/prefix-sum window — no global sort"),
     ("bpe_pair_counts", "BPE merge-step stats: corpus reduces to vocab "
      "first; pair explosion is vocab-sized, not corpus-sized"),
+    ("token_entropy", "per-doc entropy: (doc,token) partial agg -> doc "
+     "rollup with a doc-bounded count-vector fold; no joins"),
+    ("contrastive_pairs", "one labeled pass over the cluster-bounded "
+     "pair frame + a (label, id_a) rank window — pair dots computed "
+     "once"),
+    ("split_leakage", "LSH pair stream joined twice on doc_id to the "
+     "(doc_id, split) frame; corpus scanned only by the pair stage"),
+    ("dup_cluster_sizes", "label-propagation components then two "
+     "partial aggs: canonical sizes -> size histogram"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
