@@ -70,6 +70,7 @@ DATA_HEADLINE = [
     "bpe_pair_counts",
     "token_entropy",
     "contrastive_pairs",
+    "split_leakage",
 ]
 
 
