@@ -151,6 +151,25 @@ def main() -> None:
         "n_new_docs": n_new,
     }
 
+    # 6) streaming corpus scoring over the full sf0.1 document corpus
+    # (round-4: curation-at-ingestion — the one-scan score projection as a
+    # plain stream transformation; docs/sec over the streamed corpus)
+    n_docs = docs.count()
+    score_feed = os.path.join(work, "score_feed")
+    docs.repartition(8).write.parquet(score_feed)
+    t0 = time.perf_counter()
+    sp.streaming_corpus_score(
+        sp.read_document_stream(spark, score_feed, max_files_per_trigger=4),
+        os.path.join(work, "score_out"),
+        os.path.join(work, "ckpt_score"),
+    ).awaitTermination()
+    wall = time.perf_counter() - t0
+    results["corpus_score_sf01"] = {
+        "wall_s": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "n_docs": n_docs,
+    }
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({
         "n_turns": n_turns,
