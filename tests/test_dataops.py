@@ -1103,3 +1103,22 @@ def test_dup_cluster_sizes_conservation(spark):
     # the planted near-dups mean at least one non-singleton cluster
     assert any(r["cluster_size"] >= 2 for r in out)
     assert all(r["n_clusters"] >= 1 for r in out)
+
+
+def test_corpus_shards_stable_under_corpus_growth(spark):
+    """Shard assignment is a pure function of doc_id: adding documents
+    never moves an existing doc to a different shard (the property that
+    lets an incremental pipeline append to shard files)."""
+    from log_analysis_system_spark.operators import datapipe as dp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    half = docs.where(F.col("doc_id") < 250)
+    before = {
+        r["doc_id"]: r["shard_id"]
+        for r in dp.corpus_shards(half, n_shards=4).collect()
+    }
+    after = {
+        r["doc_id"]: r["shard_id"]
+        for r in dp.corpus_shards(docs, n_shards=4).collect()
+    }
+    assert before and all(after[d] == s for d, s in before.items())
