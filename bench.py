@@ -71,6 +71,7 @@ DATA_HEADLINE = [
     "token_entropy",
     "contrastive_pairs",
     "split_leakage",
+    "dup_cluster_sizes",
 ]
 
 
