@@ -21,7 +21,7 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) 12 oracle-paired queries last driver-checked in round 2 whose
+(b) 9 oracle-paired queries last driver-checked in round 2 whose
 logic is NOT subsumed by a fresher in-window query — so no oracle-paired
 entry's most recent driver row ever exceeds the 3-round full-coverage
 cycle that 129 queries over a 50-slot window arithmetically require
@@ -113,11 +113,8 @@ _DRIVER_WINDOW = [
     "format_detection",
     "brute_force",
     "suspicious_ips",
-    "per_conv_zscore",
     "tool_invocations",
     "conversation_alert_rates",
-    "pii_redaction",
-    "enriched_status_counts",
     "dedup_simhash",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
@@ -139,6 +136,15 @@ _DRIVER_WINDOW = [
     "contrastive_pairs",
     "split_leakage",
     "dup_cluster_sizes",
+    # (d) round-4 continuation operators (first driver rows): canonical
+    # keep-selection, cross-source dup matrix, bigram-LM fluency. Three
+    # (b)-group round-2 rows (per_conv_zscore, pii_redaction,
+    # enriched_status_counts) rotated back out to make room — their r2
+    # evidence is 2 rounds old at r4 (within the 3-round staleness bound);
+    # they are round-5 must-includes.
+    "dup_canonical_docs",
+    "cross_source_dup_rates",
+    "lm_bigram_score",
 ]
 
 

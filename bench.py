@@ -72,6 +72,10 @@ DATA_HEADLINE = [
     "contrastive_pairs",
     "split_leakage",
     "dup_cluster_sizes",
+    # round-4 continuation: bigram-LM fluency (the heaviest new compute
+    # shape — bigram-keyed model join); canonical selection and the
+    # cross-source matrix ride the already-benched components/pair frames
+    "lm_bigram_score",
 ]
 
 

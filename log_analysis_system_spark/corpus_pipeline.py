@@ -130,8 +130,19 @@ def run_corpus_pipeline(
     n_buckets: int = 16,
     resume: bool = True,
     fail_after_score: bool = False,
+    keep_policy: str = "min_id",
 ) -> CorpusResult:
-    """``fail_after_score`` simulates a mid-run crash for resume tests."""
+    """``fail_after_score`` simulates a mid-run crash for resume tests.
+
+    ``keep_policy`` chooses the per-cluster canonical document:
+    ``"min_id"`` (default; the component label itself) or ``"longest"``
+    (the ``dedup.canonical_selection`` rule — longest member wins, ties
+    to smallest doc_id; n_tokens comes from the already-written score
+    sink, so the policy costs one extra cluster-keyed partial agg and no
+    corpus scan).
+    """
+    if keep_policy not in ("min_id", "longest"):
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
     done = (
         st.completed_buckets(spark, output_dir, run_id, "corpus_score")
         if resume
@@ -195,9 +206,29 @@ def run_corpus_pipeline(
         comp = catalog.read_table(spark, output_dir, "doc_components").select(
             "doc_id", "canonical_id"
         )
-        is_canonical = F.col("canonical_id") == F.col("doc_id")
+        labeled = scores.join(comp, "doc_id")
+        if keep_policy == "longest":
+            best = (
+                labeled.groupBy("canonical_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("n_tokens"),
+                            (-F.col("doc_id")).alias("neg_id"),
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    "canonical_id",
+                    (-F.col("b.neg_id")).cast("bigint").alias("keep_id"),
+                )
+            )
+            labeled = labeled.join(best, "canonical_id")
+            is_canonical = F.col("doc_id") == F.col("keep_id")
+        else:
+            is_canonical = F.col("canonical_id") == F.col("doc_id")
         decisions = (
-            scores.join(comp, "doc_id")
+            labeled
             .select(
                 "doc_id", "lang", "source", "split", "bucket",
                 "n_tokens", "pred_lang", "canonical_id",

@@ -829,3 +829,91 @@ def dup_cluster_sizes(
     return sizes.groupBy("cluster_size").agg(
         F.count("*").cast("bigint").alias("n_clusters")
     )
+
+
+def canonical_selection(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Canonical-document selection: within every near-dup cluster, pick
+    the single document to KEEP — the longest (token count), ties broken
+    by smallest doc_id — and flag all others as discards. This is the
+    step after component labeling that real curation pipelines run: the
+    keep policy is rarely "arbitrary member" (``dedup_components``' min
+    label) but "best member", because near-dup clusters mix truncated /
+    boilerplate-injected variants of one underlying page and keeping the
+    longest preserves the most content.
+
+    Output: one row per document —
+    ``(doc_id, cluster_id, cluster_size, n_tokens, is_canonical)``.
+    The keep-list is ``is_canonical``; exactly one true per cluster
+    (singletons keep themselves).
+
+    Scale shape: rides :func:`dedup_components` (pair-graph label
+    propagation), then one (cluster_id)-keyed partial agg computing the
+    per-cluster argmax as ``max(struct(n_tokens, -doc_id))`` — no window
+    over the corpus, no global sort. The argmax frame is cluster-count
+    sized; joining it back is a broadcast at realistic cluster counts or
+    a same-key shuffle join otherwise. Deterministic: (n_tokens, -doc_id)
+    is a total order because doc_id is unique.
+    """
+    comp = dedup_components(docs, threshold=threshold).withColumnRenamed(
+        "canonical_id", "cluster_id"
+    )
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    labeled = comp.join(lens, "doc_id")
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+        F.count("*").cast("bigint").alias("cluster_size"),
+    ).select(
+        "cluster_id",
+        (-F.col("b.neg_id")).cast("bigint").alias("keep_id"),
+        "cluster_size",
+    )
+    return labeled.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "n_tokens",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+    )
+
+
+def cross_source_dup_rates(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Within- vs cross-source near-duplicate matrix: for every unordered
+    pair of sources, how many verified near-dup pairs straddle them. The
+    cross-snapshot dedup audit (CommonCrawl dumps, wiki mirrors, forum
+    scrapes): a high off-diagonal count means two "different" sources are
+    substantially the same crawl and the mixture weights double-count it;
+    the diagonal is ordinary intra-source duplication.
+
+    Output: ``(source_lo, source_hi, n_pairs)`` with
+    ``source_lo <= source_hi`` lexicographically.
+
+    Scale shape: the pair frame (MinHash/LSH, exact-verified) is the
+    expensive part and is bounded by true near-dups; the two source
+    lookups are 8-byte-payload equi-joins on doc_id against a projection
+    of the corpus, then a partial agg on a (sources²)-sized key space.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )

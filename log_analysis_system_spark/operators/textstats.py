@@ -922,3 +922,70 @@ def mixture_resample(docs: DataFrame) -> DataFrame:
         "lang",
         (base.cast("int") + extra).alias("n_copies"),
     )
+
+
+LM_BIGRAM_ADD_K = 1  # add-one (Laplace) smoothing; integer so the
+#                      smoothed ratio is an exact rational on both engines
+
+
+def lm_bigram_scores(docs: DataFrame) -> DataFrame:
+    """Bigram-LM fluency signal (the CCNet/KenLM recipe one order up from
+    :func:`lm_unigram_scores`): each document's mean negative log
+    probability of its token bigrams under an add-one-smoothed bigram
+    model trained on the corpus itself —
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with ``c(w1)`` the corpus
+    unigram count and ``V`` the vocabulary size. Word-salad and shuffled
+    boilerplate score high (their bigrams are corpus-rare even when every
+    unigram is common) — exactly the signal a unigram model cannot see.
+    Documents with fewer than 2 tokens have no bigrams and are excluded.
+
+    Output: ``(doc_id, n_bigrams, mean_neg_logp)``; perplexity is
+    ``exp(mean_neg_logp)``, left to the caller (exp stacks ULP noise onto
+    a cross-engine-compared value for no extra information).
+
+    Scale shape: bigrams are built ROW-LOCALLY (``zip_with`` over two
+    slices of the token array — no self-join, no window over positions);
+    the bigram-count model is a (w1,w2)-keyed partial agg, vocab²-bounded
+    in theory but Zipf-sparse in practice; the scoring join shuffles on
+    the bigram key. At 10^12 tokens broadcast the model's top-B head and
+    fold the tail into the smoothing term, as for the unigram model.
+    Cross-engine determinism: counts and V are exact integers, so the
+    ``-ln`` argument is bit-identical; per-bigram -ln summed in
+    DECIMAL(28,10) (partition-order-free), divided and rounded as DOUBLE.
+    """
+    t = tokens(F.col("text"))
+    bi = (
+        docs.where(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    uni = docs.select(F.explode(tokens(F.col("text"))).alias("w1")).groupBy(
+        "w1"
+    ).agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    bfreq = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    nlp = -F.log(
+        (F.col("c12") + F.lit(LM_BIGRAM_ADD_K))
+        / (F.col("c1") + F.lit(LM_BIGRAM_ADD_K) * F.col("v"))
+    )
+    scored = (
+        bi.join(bfreq, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", nlp.cast("decimal(28,10)").alias("nlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("nlp").cast("double") / F.count("*"), 6
+        ).alias("mean_neg_logp"),
+    )

@@ -382,6 +382,26 @@ def q_multimodal_video_features(spark, sf_dir):
     return df.orderBy("doc_id")
 
 
+def q_dup_canonical_docs(spark, sf_dir):
+    """Canonical-doc selection per near-dup cluster: keep the longest
+    member (ties -> smallest doc_id); one is_canonical=true per cluster."""
+    return dd.canonical_selection(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_cross_source_dup_rates(spark, sf_dir):
+    """Within/cross-source near-dup pair matrix — the cross-snapshot
+    double-counting audit over the verified MinHash/LSH pair stream."""
+    return dd.cross_source_dup_rates(_docs(spark, sf_dir)).orderBy(
+        "source_lo", "source_hi"
+    )
+
+
+def q_lm_bigram_score(spark, sf_dir):
+    """Add-one-smoothed bigram-LM mean negative log prob per doc — the
+    fluency signal one order above lm_unigram_score."""
+    return ts.lm_bigram_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -441,6 +461,9 @@ QUERIES = {
     "contrastive_pairs": q_contrastive_pairs,
     "split_leakage": q_split_leakage,
     "dup_cluster_sizes": q_dup_cluster_sizes,
+    "dup_canonical_docs": q_dup_canonical_docs,
+    "cross_source_dup_rates": q_cross_source_dup_rates,
+    "lm_bigram_score": q_lm_bigram_score,
 }
 
 
@@ -1613,3 +1636,84 @@ SELECT cluster_size, count(*)::BIGINT AS n_clusters
 FROM cs GROUP BY cluster_size ORDER BY cluster_size
 """
 )
+
+# Canonical selection: recursive components + longest-member argmax via
+# a per-cluster window (the operator uses a struct-max partial agg; same
+# (n_tokens DESC, doc_id ASC) total order)
+ORACLES["dup_canonical_docs"] = (
+    "WITH RECURSIVE "
+    + _SH_CTE.strip()
+    + _COMPONENT_TAIL_CTES
+    + f"""
+, comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+lens AS (
+  SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents
+),
+lab AS (
+  SELECT comp.doc_id, cluster_id, n_tokens FROM comp JOIN lens USING (doc_id)
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM lab
+)
+SELECT doc_id, cluster_id, cluster_size::BIGINT AS cluster_size,
+       n_tokens, (rn = 1) AS is_canonical
+FROM rk ORDER BY doc_id
+"""
+)
+
+# Cross-source dup matrix: the exact-Jaccard pair set (the minhash gate's
+# oracle) joined to both docs' sources, unordered-pair normalized
+ORACLES["cross_source_dup_rates"] = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, len(ts) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= {dd.JACCARD_THRESHOLD}
+)
+SELECT least(a.source, b.source) AS source_lo,
+       greatest(a.source, b.source) AS source_hi,
+       count(*)::BIGINT AS n_pairs
+FROM jac
+JOIN documents a ON a.doc_id = id_a
+JOIN documents b ON b.doc_id = id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# Bigram LM: integer counts + V make the -ln argument bit-identical;
+# DECIMAL(28,10) sum, DOUBLE divide/round (the lm_unigram_score contract)
+ORACLES["lm_bigram_score"] = f"""
+WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),
+tok AS (SELECT unnest(t) AS w1 FROM base),
+freq AS (SELECT w1, count(*) AS c1 FROM tok GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM freq),
+bi AS (
+  SELECT doc_id,
+         unnest([{{'w1': t[i-1], 'w2': t[i]}}
+                 for i in range(2, len(t)+1)]) AS bg
+  FROM base WHERE len(t) >= 2
+),
+bix AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+bfreq AS (SELECT w1, w2, count(*) AS c12 FROM bix GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id,
+         CAST(-ln((c12 + {ts.LM_BIGRAM_ADD_K})::DOUBLE
+                  / (c1 + {ts.LM_BIGRAM_ADD_K} * v))
+              AS DECIMAL(28,10)) AS nlp
+  FROM bix JOIN bfreq USING (w1, w2) JOIN freq USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS mean_neg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -163,3 +163,49 @@ def test_score_stage_gopher_matches_standalone(spark, docs, run):
         for r in ts.gopher_rules(docs).collect()
     }
     assert got == want
+
+
+def test_keep_policy_longest_matches_canonical_selection(
+    spark, tmp_path_factory
+):
+    """keep_policy='longest' marks the canonical_selection winner (longest
+    member, ties -> min id) as the surviving copy, not the min-id label."""
+    from log_analysis_system_spark.operators import dedup as dd
+
+    short = " ".join(f"t{i}" for i in range(1, 11))        # 10 tokens
+    longer = " ".join(f"t{i}" for i in range(1, 13))       # 12; jac 8/10
+    pad = "filler words so the quality gate passes " * 3
+    rows = [
+        (0, short + " " + pad + "the and of", "en", "src"),
+        (1, longer + " " + pad + "the and of", "en", "src"),
+        (2, "totally unrelated content that is its own cluster "
+            + pad + "the and of", "en", "src"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = tmp_path_factory.mktemp("corpus_longest")
+    run_corpus_pipeline(
+        spark, docs, str(out), "clong", n_buckets=2, keep_policy="longest"
+    )
+    dec = {
+        r["doc_id"]: r
+        for r in _read(spark, str(out), "corpus_decisions").collect()
+    }
+    sel = {
+        r.doc_id: r for r in dd.canonical_selection(docs).collect()
+    }
+    # the pipeline's survivor flag agrees with the standalone operator
+    # wherever quality passes (all three docs pass here)
+    for i in rows:
+        doc_id = i[0]
+        assert dec[doc_id]["kept"] == sel[doc_id].is_canonical, doc_id
+    # and the cluster's keeper is the LONGER doc, not min-id
+    if sel[0].cluster_id == sel[1].cluster_id:
+        assert dec[1]["kept"] and not dec[0]["kept"]
+
+
+def test_keep_policy_unknown_raises(spark, docs, tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus_badpolicy")
+    with pytest.raises(ValueError, match="keep_policy"):
+        run_corpus_pipeline(
+            spark, docs, str(out), "cbad", keep_policy="newest"
+        )

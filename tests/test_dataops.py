@@ -1122,3 +1122,80 @@ def test_corpus_shards_stable_under_corpus_growth(spark):
         for r in dp.corpus_shards(docs, n_shards=4).collect()
     }
     assert before and all(after[d] == s for d, s in before.items())
+
+
+# ------------------------------------------- round-4 continuation operators
+def test_canonical_selection_keeps_longest(spark):
+    """Near-dup pair where the LONGER doc wins canonicality (not the min
+    id), plus a singleton that keeps itself."""
+    short = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    longer = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"  # jac = 8/10 = 0.8
+    other = "completely different content with nothing shared at all here"
+    df = docs_df(spark, [short, longer, other])
+    got = {r.doc_id: r for r in dd.canonical_selection(df).collect()}
+    assert got[0].cluster_id == 0 and got[1].cluster_id == 0
+    assert got[0].cluster_size == 2 and got[1].cluster_size == 2
+    assert not got[0].is_canonical and got[1].is_canonical
+    assert got[2].is_canonical and got[2].cluster_size == 1
+    # exactly one canonical per cluster
+    assert sum(1 for r in got.values() if r.is_canonical) == 2
+
+
+def test_canonical_selection_tie_breaks_min_id(spark):
+    """Equal-length exact dups: smallest doc_id is canonical."""
+    same = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = docs_df(spark, [same, same])
+    got = {r.doc_id: r for r in dd.canonical_selection(df).collect()}
+    assert got[0].is_canonical and not got[1].is_canonical
+
+
+def test_cross_source_dup_rates_matrix(spark):
+    """Pairs within one source and across two sources land in the right
+    unordered cells."""
+    base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    rows = [
+        (0, base, "crawl_a"),
+        (1, base, "crawl_b"),   # cross a<->b
+        (2, base, "crawl_a"),   # within a (and cross with 1)
+        (3, "nothing shared here at all with any other document x y z", "crawl_b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.source_lo, r.source_hi): r.n_pairs
+        for r in dd.cross_source_dup_rates(df).collect()
+    }
+    # pairs: (0,1) a-b, (0,2) a-a, (1,2) a-b
+    assert got == {("crawl_a", "crawl_b"): 2, ("crawl_a", "crawl_a"): 1}
+
+
+def test_lm_bigram_scores_hand_computed(spark):
+    """Tiny corpus with hand-computable add-one bigram probabilities."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a rare"), (2, "x")],
+        ["doc_id", "text"],
+    )
+    # unigrams: a=3, b=1, rare=1, x=1 -> V=4
+    # doc0 bigrams (a,a),(a,b): c12=1 each, c1(a)=3 -> p = 2/7 each
+    # doc1 bigram (a,rare): p = 2/7
+    # doc2 has 1 token -> excluded
+    got = {r.doc_id: r for r in ts.lm_bigram_scores(docs).collect()}
+    assert set(got) == {0, 1}
+    exp = round(math.log(7 / 2), 6)
+    assert got[0].n_bigrams == 2 and got[1].n_bigrams == 1
+    assert got[0].mean_neg_logp == pytest.approx(exp, abs=2e-6)
+    assert got[1].mean_neg_logp == pytest.approx(exp, abs=2e-6)
+
+
+def test_lm_bigram_flags_shuffled_boilerplate(spark):
+    """The bigram signal: same unigram histogram, scrambled order ->
+    higher bigram surprise than the repeated fluent original."""
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(8)]
+        + [(8, "mat the on sat cat rug the dog and the on sat the")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.mean_neg_logp for r in ts.lm_bigram_scores(docs).collect()}
+    assert got[8] > got[0]

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",        # 1-row corpus-size frame broadcast into idf
     "vocab_top_terms",        # 1-row total-token frame broadcast into shares
     "lm_unigram_score",       # 1-row total-token frame broadcast into -ln(p)
+    "lm_bigram_score",        # 1-row vocab-size frame broadcast into -ln(p)
     "ccnet_buckets",          # inherits lm_unigram_score's 1-row total frame
     "token_kl_drift",         # 1-row grand-total frame broadcast into KL terms
     "embedding_quantization", # 1-row dim-range arrays broadcast into quantize

@@ -120,6 +120,14 @@ SHOW = [
      "(doc_id, split) frame; corpus scanned only by the pair stage"),
     ("dup_cluster_sizes", "label-propagation components then two "
      "partial aggs: canonical sizes -> size histogram"),
+    ("dup_canonical_docs", "components + ONE cluster-keyed struct-max "
+     "argmax agg (longest member wins) — no corpus window, no global "
+     "sort"),
+    ("cross_source_dup_rates", "verified pair stream + two 8-byte "
+     "source lookups on doc_id + sources^2-key partial agg"),
+    ("lm_bigram_score", "row-local zip_with bigrams -> (w1,w2)-keyed "
+     "model agg -> scoring join on the bigram key; 1-row vocab frame "
+     "broadcast (the allowlisted BNLJ)"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
@@ -149,6 +157,7 @@ def main() -> None:
             # 1-row broadcast build sides (dim ranges / global range / totals)
             "embedding_quantization", "value_histogram", "conv_skew_profile",
             "tpch_no_recent_orders", "ccnet_buckets", "token_kl_drift",
+            "lm_bigram_score",
         )
         if BAD.search(plan) and not allow_bnlj:
             raise SystemExit(f"unexpected join strategy in {name}:\n{plan}")
