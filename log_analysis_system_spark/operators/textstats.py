@@ -972,20 +972,37 @@ def lm_bigram_scores(docs: DataFrame) -> DataFrame:
         "w1"
     ).agg(F.count("*").alias("c1"))
     vocab = uni.agg(F.count("*").alias("v"))
-    bfreq = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # reduce to per-doc DISTINCT bigrams before the model join (map-side
+    # partial agg): the join probe shrinks by the within-doc repetition
+    # factor, and summing n·nlp is exactly the instance-level decimal sum
+    dbi = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    bfreq = dbi.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     nlp = -F.log(
         (F.col("c12") + F.lit(LM_BIGRAM_ADD_K))
         / (F.col("c1") + F.lit(LM_BIGRAM_ADD_K) * F.col("v"))
     )
     scored = (
-        bi.join(bfreq, ["w1", "w2"])
+        dbi.join(bfreq, ["w1", "w2"])
         .join(uni, "w1")
         .join(F.broadcast(vocab))
-        .select("doc_id", nlp.cast("decimal(28,10)").alias("nlp"))
+        .select(
+            "doc_id",
+            "n",
+            # decimal(18,10) x decimal(12,0) -> decimal(31,10): inside the
+            # 38-digit cap, so the product keeps scale 10 EXACTLY (a plain
+            # decimal(28,10) x bigint would exceed 38 digits and trip
+            # Spark's allowPrecisionLoss scale-trim, shifting 6-dp rounds).
+            # Bounds: -ln(p) < ln(c1 + V) < 44 fits 8 integer digits;
+            # n < 10^12 (per-doc repeats of ONE bigram) fits 12.
+            (
+                nlp.cast("decimal(18,10)")
+                * F.col("n").cast("decimal(12,0)")
+            ).alias("nlp"),
+        )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
+        F.sum("n").alias("n_bigrams"),
         F.round(
-            F.sum("nlp").cast("double") / F.count("*"), 6
+            F.sum("nlp").cast("double") / F.sum("n"), 6
         ).alias("mean_neg_logp"),
     )
