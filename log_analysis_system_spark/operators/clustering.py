@@ -237,7 +237,15 @@ def semdedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6) >= tau)
+        # try_divide: a zero-norm member gives NULL cosine (DuckDB's x/0
+        # is NULL too), and NULL >= tau filters out on both engines — a
+        # degenerate vector is never a semantic dup and can't make one
+        .where(
+            F.round(
+                F.try_divide(dot, F.col("a.norm") * F.col("b.norm")), 6
+            )
+            >= tau
+        )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))
@@ -311,7 +319,11 @@ def contrastive_pairs(
     ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        # try_divide: zero-norm member -> NULL cosine -> NULL label ->
+        # dropped below; DuckDB's x/0 is NULL with the same CASE outcome
+        F.round(
+            F.try_divide(dot, F.col("a.norm") * F.col("b.norm")), 6
+        ).alias("cosine"),
     )
     # ONE pass over the pair frame: label both sides in the same
     # projection, rank within (label, id_a) — for negatives this is the

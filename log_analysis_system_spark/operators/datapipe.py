@@ -260,9 +260,12 @@ def embedding_centroid_distance(emb: DataFrame) -> DataFrame:
     return j.select(
         "vec_id",
         "label",
-        F.round(dot / (norm(F.col("v")) * norm(F.col("ce"))), 6).alias(
-            "cos_centroid"
-        ),
+        # try_divide: a zero-norm vector (or all-zero label centroid) gets
+        # NULL cos_centroid on both engines (DuckDB x/0 is NULL) — cosine
+        # is undefined there, and downstream outlier cuts skip NULLs
+        F.round(
+            F.try_divide(dot, norm(F.col("v")) * norm(F.col("ce"))), 6
+        ).alias("cos_centroid"),
     )
 
 

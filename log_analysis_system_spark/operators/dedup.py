@@ -518,10 +518,12 @@ def embedding_cosine_pairs(
     bit-reproducible against the oracle's identical formula, rounded to
     6 dp on both sides.
     """
+    from .similarity import _nonzero
+
     v = emb.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
-    )
+    ).where(_nonzero(F.col("v")))  # zero-norm exclusion: cosine undefined
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -567,7 +569,7 @@ def embedding_cosine_pairs_lsh(
     — tests assert subset + a recall floor, not equality. At scale the
     bucket self-join touches ~n²/2^planes per table instead of n².
     """
-    from .similarity import lsh_sig_exprs, lsh_signature_udf_planes
+    from .similarity import _nonzero, lsh_sig_exprs, lsh_signature_udf_planes
 
     hps = lsh_signature_udf_planes(dim, planes, tables)
     # As in minhash_lsh_pairs, vectors are NOT carried through the
@@ -575,10 +577,14 @@ def embedding_cosine_pairs_lsh(
     # rows shuffle; the 64-double payloads are joined back onto the (tiny)
     # deduplicated candidate set for verification. The vector frame is
     # lazily checkpointed once and reused for signatures + both verify sides.
-    v = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).localCheckpoint(eager=False)
+    v = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .where(_nonzero(F.col("v")))  # zero-norm exclusion: cosine undefined
+        .localCheckpoint(eager=False)
+    )
     # Dimension guard: zip_with against the dim-wide hyperplane literals
     # null-pads a mismatched vector, silently clearing sign bits and
     # degrading recall with no error (the exact verify preserves the subset

@@ -47,6 +47,16 @@ def _norm_vec(col):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
 
 
+# Repo-wide degenerate-vector convention: cosine similarity is UNDEFINED
+# for a zero-norm vector, so every cosine operator excludes zero-norm
+# vectors from both the query and corpus sides (under ANSI mode the
+# division would otherwise raise DIVIDE_BY_ZERO; DuckDB would yield NULL —
+# the explicit filter gives both engines, and the SQL vs NumPy paths, the
+# same rows). Oracles mirror with `list_sum(list_transform(e, x->x*x)) > 0`.
+def _nonzero(col) -> "F.Column":
+    return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x) > 0
+
+
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = DEFAULT_K
 ) -> DataFrame:
@@ -60,11 +70,11 @@ def brute_force_topk(
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    )
+    ).where(_nonzero(F.col("cv")))
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    )
+    ).where(_nonzero(F.col("qv")))
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y),
         F.lit(0.0),
@@ -120,7 +130,11 @@ def brute_force_topk_np(
     qrows = queries.select("vec_id", "embedding").collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm exclusion (see _nonzero): drop degenerate queries up front
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    live = q_norm[:, 0] > 0
+    q_ids, q_mat, q_norm = q_ids[live], q_mat[live], q_norm[live]
+    q_mat /= q_norm
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,7 +142,13 @@ def brute_force_topk_np(
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            keep = norms[:, 0] > 0
+            if not keep.all():
+                ids, mat, norms = ids[keep], mat[keep], norms[keep]
+            if mat.shape[0] == 0:
+                continue
+            mat /= norms
             sims = q_mat @ mat.T  # (n_queries, batch)
             # mask self-matches
             for qi, qid in enumerate(q_ids):
@@ -230,14 +250,22 @@ def ann_lsh_bucketed(
     def sig_exprs(vcol):
         return lsh_sig_exprs(vcol, hps, planes)
 
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("sigs", sig_exprs(F.col("cv")))
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    ).withColumn("sigs", sig_exprs(F.col("qv")))
+    c = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .where(_nonzero(F.col("cv")))
+        .withColumn("sigs", sig_exprs(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .where(_nonzero(F.col("qv")))
+        .withColumn("sigs", sig_exprs(F.col("qv")))
+    )
 
     ce = c.select(
         "neighbor_id", "cv", F.explode("sigs").alias("s")
@@ -470,6 +498,8 @@ def probe_rows_for(
     rows = []
     for r in qrows:
         qv = np.array(r["embedding"], dtype=np.float64)
+        if not (qv @ qv) > 0:
+            continue  # zero-norm exclusion (see _nonzero)
         d = ((cent_mat - qv[None, :]) ** 2).sum(axis=1)
         for li in np.argsort(d, kind="stable")[:nprobe]:
             rows.append((r["vec_id"], list(map(float, qv)), int(li)))
@@ -522,12 +552,18 @@ def ann_ivf(
     assignments, centroids = ivf_assignments(
         emb, k=lists, train_fraction=train_fraction
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).join(
-        assignments.select(F.col("vec_id").alias("neighbor_id"), "list_id"),
-        "neighbor_id",
+    c = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .where(_nonzero(F.col("cv")))
+        .join(
+            assignments.select(
+                F.col("vec_id").alias("neighbor_id"), "list_id"
+            ),
+            "neighbor_id",
+        )
     )
     probed = emb.sparkSession.createDataFrame(
         probe_rows_for(centroids, queries, nprobe),
@@ -580,7 +616,7 @@ def ann_ivf_partitioned(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
         "list_id",
-    )
+    ).where(_nonzero(F.col("cv")))
     probed = spark.createDataFrame(
         rows, "query_id long, qv array<double>, list_id int"
     )

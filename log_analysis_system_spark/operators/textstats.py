@@ -52,7 +52,12 @@ def quality_exprs(t) -> dict[str, "F.Column"]:
     n_stop = F.size(F.array_intersect(t, stop_arr))  # distinct-stopword hits
     n_stop_tokens = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
     mean_tok = (F.length("text") - (F.size(t) - 1)) / F.size(t)
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length("text")
+    # try_divide: an empty document (length 0) gets NULL alpha_ratio on
+    # both engines (DuckDB 0.0/0 is NULL) instead of an ANSI-mode error;
+    # the divisors above are token counts, >= 1 even for '' (split -> [''])
+    alpha = F.try_divide(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")), F.length("text")
+    )
     return {
         "n_tokens": F.size(t),
         "stopword_ratio": F.round(n_stop_tokens / F.size(t), 6),

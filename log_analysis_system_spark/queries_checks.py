@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as dd
 from .operators import similarity as sim
-from .queries_data import N_ANN_QUERIES, _COS, _emb
+from .queries_data import N_ANN_QUERIES, _COS, _NORM_POS, _emb
 
 DEDUP_LSH_RECALL_FLOOR = 0.85
 ANN_RECALL_FLOOR = 0.5
@@ -148,7 +148,8 @@ def q_ann_ivf_check(spark, sf_dir):
         F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
     )
     n_bad = re_scored.where(
-        F.col("cosine") != F.round(dot / (norm("qe") * norm("ne")), 6)
+        F.col("cosine")
+        != F.round(F.try_divide(dot, norm("qe") * norm("ne")), 6)
     ).agg(F.count("*").alias("n_bad_cosine"))
     return base.join(F.broadcast(n_bad)).select(
         "n_queries",
@@ -210,7 +211,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_embedding_lsh_check": f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE {_NORM_POS}),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_COS.format(a="a.e", b="b.e")} AS cosine
@@ -225,14 +227,14 @@ FROM scored WHERE cosine >= {dd.COSINE_DUP_THRESHOLD}
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        TRUE AS full_k,
        TRUE AS recall_floor_met
-FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+FROM embeddings WHERE vec_id < {N_ANN_QUERIES} AND {_NORM_POS}
 """,
     "ann_ivf_check": f"""
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        TRUE AS full_k,
        TRUE AS recall_floor_met,
        TRUE AS cosines_exact
-FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+FROM embeddings WHERE vec_id < {N_ANN_QUERIES} AND {_NORM_POS}
 """,
     "approx_distinct_check": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -549,6 +549,10 @@ _COS = (
     "(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, len({a}) + 1)])) * "
     "sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, len({b}) + 1)])))"
 )
+# zero-norm exclusion (mirrors operators.similarity._nonzero): cosine is
+# undefined for a zero-norm vector, so cosine-family oracles filter the
+# vector CTE with this predicate — same rows as the Spark-side .where()
+_NORM_POS = "list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0"
 
 ORACLES = {
     "dedup_exact": """
@@ -620,7 +624,8 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {dd.SIMHASH_MAX_HAMMING}
 ORDER BY id_a, id_b
 """,
     "dedup_embedding_cosine": f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE {_NORM_POS}),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_COS.format(a="a.e", b="b.e")} AS cosine
@@ -631,7 +636,8 @@ FROM scored WHERE cosine >= {dd.COSINE_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """,
     "ann_topk_cosine": f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE {_NORM_POS}),
 q AS (SELECT * FROM v WHERE vec_id < {N_ANN_QUERIES}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -741,12 +747,19 @@ SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {ts.TFIDF_TOP_K}
 ORDER BY doc_id, rank
 """,
+    # first/last BYTE of the UTF-8 payload (not codepoint — they differ on
+    # multibyte chars, and unicode('') is -1 not NULL): slice the hex dump
+    # two chars per byte; empty payload -> '' -> nullif -> NULL
     "multimodal_features": """
 SELECT doc_id,
        'text/plain' AS mime,
        octet_length(encode(text))::INT AS n_bytes,
-       unicode(substr(text, 1, 1))::INT AS first_byte,
-       unicode(substr(text, length(text), 1))::INT AS last_byte,
+       CAST(nullif(concat('0x', substring(hex(encode(text)), 1, 2)), '0x')
+            AS INT) AS first_byte,
+       CAST(nullif(concat('0x', substring(hex(encode(text)),
+                                          2 * octet_length(encode(text)) - 1,
+                                          2)), '0x')
+            AS INT) AS last_byte,
        CAST(NULL AS INT) AS width,
        CAST(NULL AS INT) AS height,
        CAST(NULL AS INT) AS channels,
@@ -1009,7 +1022,8 @@ ORDER BY v.vec_id
 """,
 }
 ORACLES["knn_label_agreement"] = f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE {_NORM_POS}),
 scored AS (
   SELECT q.vec_id AS query_id, q.label AS label,
          c.vec_id AS neighbor_id, c.label AS n_label,
