@@ -51,7 +51,13 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
     query registry wrappers do, for deterministic oracle comparison).
     Scale: single shuffle on user_id; per-user sort is the only per-key
     cost. Hot users are bounded by their own event count (no blowup).
+
+    Convention: a NULL-``ts`` event cannot be placed on the session
+    timeline and is EXCLUDED (Spark window sort puts NULLs first, DuckDB
+    last — an explicit filter gives both engines the same rows; oracles
+    mirror with ``WHERE ts IS NOT NULL``).
     """
+    events = events.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ok = F.col("ts") <= F.col("prev_ts") + F.expr(
         f"INTERVAL {int(gap_minutes)} MINUTES"
@@ -114,7 +120,13 @@ def asof_join(
     before left (inclusive semantics, = DuckDB ``ASOF JOIN ON l.ts >=
     r.ts``); duplicate right timestamps are pre-reduced to max(event_id)
     so the match is deterministic on both engines.
+
+    NULL-``ts`` rows are excluded (the :func:`sessionize` convention): a
+    null-ts right row would become a running "last seen" under Spark's
+    nulls-first window sort but can never satisfy DuckDB's ``l.ts >=
+    r.ts`` — the filter gives both engines the same match set.
     """
+    events = events.where(F.col("ts").isNotNull())
     right = (
         events.where(F.col("event_type") == right_type)
         .groupBy("user_id", "ts")
@@ -185,7 +197,10 @@ def range_join_follow_counts(
     BroadcastNestedLoopJoin.
     """
     w_us = int(window_hours) * 3600 * 1000000
-    base = events.select(
+    # NULL-ts exclusion (the sessionize convention, applied uniformly to
+    # every time-ordered operator): an untimestamped event neither counts
+    # follows nor is followed — on both engines, by an explicit filter.
+    base = events.where(F.col("ts").isNotNull()).select(
         "event_id", "user_id", "ts", _micros("ts").alias("us")
     )
     left = base.select(
@@ -247,8 +262,12 @@ def topk_users_per_type(events: DataFrame, k: int = TOPK_PER_GROUP) -> DataFrame
             "n_events",
         )
     )
+    # asc_nulls_last on the tie-break key: Spark's bare asc sorts NULLs
+    # FIRST while DuckDB's default is NULLS LAST — with a NULL user_id in
+    # a total_value tie at the rank cutoff the two engines would return
+    # different top-k rows. NULLS LAST is pinned on both (DuckDB default).
     w = Window.partitionBy("event_type").orderBy(
-        F.col("total_value").desc(), F.col("user_id")
+        F.col("total_value").desc(), F.col("user_id").asc_nulls_last()
     )
     return (
         totals.withColumn("rank", F.row_number().over(w))
@@ -293,9 +312,14 @@ def session_window_stats(
     Scale: same single shuffle on the session key as the manual
     formulation; the merge runs inside ``UpdatingSessionsIterator`` on the
     sorted partition — no extra exchange.
+
+    NULL-``ts`` rows are excluded explicitly (``session_window`` silently
+    drops them anyway; the filter makes the :func:`sessionize` convention
+    visible in the plan and keeps the oracle mirror exact).
     """
     return (
-        events.groupBy(
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
             "user_id",
             F.session_window("ts", f"{int(gap_minutes)} minutes").alias("w"),
         )
@@ -346,8 +370,14 @@ def props_key_stats(events: DataFrame) -> DataFrame:
     prefer parsing ONCE into a materialized column (or a from_json struct
     pushed into the silver table) over re-extracting per query — this
     operator is the query-time form.
+
+    ``k`` counts only when it is a canonical integer that fits in INT
+    (anchored-regex guard before the cast): hostile props — malformed
+    JSON, ``"k": 2.7``, ``"k": "x"`` — yield NULL on both engines instead
+    of an ANSI cast error here vs DuckDB's rounding TRY_CAST ('2.7' -> 3).
     """
-    k = F.get_json_object("props", "$.k").cast("int")
+    raw_k = F.get_json_object("props", "$.k")
+    k = F.when(raw_k.rlike(r"^-?[0-9]{1,9}$"), raw_k.cast("int"))
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")

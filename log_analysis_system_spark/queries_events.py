@@ -107,11 +107,14 @@ _GAP = rel.SESSION_GAP_MINUTES
 _WH = rel.RANGE_JOIN_WINDOW_HOURS
 _K = rel.TOPK_PER_GROUP
 
+# WHERE ts IS NOT NULL mirrors the operators' convention: an event
+# without a timestamp cannot be placed on the session timeline (and the
+# two engines disagree on NULL placement in window sorts).
 _SESSIONIZE_CTE = f"""
 lagged AS (
   SELECT event_id, user_id, ts, event_type,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NOT NULL
@@ -151,9 +154,11 @@ WITH r AS (
   SELECT user_id, ts,
          max(event_id) AS r_event_id,
          max_by(value, event_id) AS r_value
-  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+  GROUP BY user_id, ts
 ),
-l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+l AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL)
 SELECT l.event_id, l.user_id, l.ts,
        r.r_event_id AS matched_event_id,
        r.ts AS matched_ts,
@@ -165,16 +170,17 @@ ORDER BY l.event_id
 """,
     # plain inequality join — the bucketed equi-join rewrite must agree
     "range_follow_counts": f"""
-WITH hits AS (
+WITH tv AS (SELECT * FROM events WHERE ts IS NOT NULL),
+hits AS (
   SELECT a.event_id, count(*) AS n_follow
-  FROM events a JOIN events b
+  FROM tv a JOIN tv b
     ON a.user_id = b.user_id
    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {_WH} HOURS
   GROUP BY a.event_id
 )
 SELECT e.event_id, e.user_id, e.ts,
        coalesce(h.n_follow, 0) AS n_follow
-FROM events e LEFT JOIN hits h USING (event_id)
+FROM tv e LEFT JOIN hits h USING (event_id)
 ORDER BY e.event_id
 """,
     "topk_users_per_type": f"""
@@ -187,7 +193,8 @@ WITH totals AS (
 ),
 ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY event_type ORDER BY total_value DESC, user_id
+    PARTITION BY event_type
+    ORDER BY total_value DESC, user_id ASC NULLS LAST
   ) AS rank
   FROM totals
 )
@@ -210,7 +217,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 WITH lagged AS (
   SELECT user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NOT NULL
@@ -231,6 +238,10 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
 FROM sess GROUP BY user_id, session_seq
 ORDER BY user_id, session_start
 """,
+    # json_valid guard (malformed props would make json_extract_string
+    # THROW, where Spark's get_json_object yields NULL) + the operator's
+    # anchored integer regex (DuckDB TRY_CAST rounds '2.7' -> 3; Spark's
+    # try_cast gives NULL — the shared guard removes the cast entirely)
     "props_key_stats": """
 SELECT event_type,
        count(*) AS n,
@@ -240,7 +251,10 @@ SELECT event_type,
        max(k) AS max_k
 FROM (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS INT) AS k
+         CASE WHEN json_valid(props)
+               AND regexp_matches(json_extract_string(props, '$.k'),
+                                  '^-?[0-9]{1,9}$')
+              THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
   FROM events
 ) GROUP BY event_type ORDER BY event_type
 """,

@@ -40,6 +40,16 @@ _OTHER_TABLES = re.compile(
     re.IGNORECASE,
 )
 
+# the events-only analog: queries whose oracle reads ONLY the events table
+# (the rendered-transcript family is excluded by the orders reference in
+# its shared dim CTE — and is cross-engine-identical BY CONSTRUCTION anyway,
+# both sides rendering text from one template over the same event formulas)
+_NOT_EVENTS_ONLY = re.compile(
+    r"\b(region|nation|customer|supplier|part|orders|lineitem|documents"
+    r"|embeddings)\b",
+    re.IGNORECASE,
+)
+
 # Calibrated-invariant wrappers whose constant-verdict oracles presuppose
 # the registered corpus regime, not engine semantics: ``full_k`` requires
 # every query's probed lists to hold >= k candidates (true at sf>=0.001,
@@ -47,7 +57,16 @@ _OTHER_TABLES = re.compile(
 # vectors over 16 lists), and the recall floors are statistical claims
 # about the planted-pair corpus. Cross-engine value semantics of the
 # underlying operators are covered by their direct entries above.
-_SCALE_CONTRACT = {"ann_ivf_check", "ann_lsh_check"}
+_SCALE_CONTRACT = {
+    "ann_ivf_check",
+    "ann_lsh_check",
+    # its 1%-relative bound between the INTERPOLATING exact percentile and
+    # the element-returning KLL sketch is a corpus-regime claim: on a
+    # 10-point hostile group the two legitimately differ by up to the gap
+    # between adjacent order statistics. The exact percentile operator
+    # itself (value_percentiles) IS hostile-gated above.
+    "percentiles_approx_check",
+}
 
 EMB_DIM = 64
 
@@ -130,6 +149,100 @@ def hostile_dir(tmp_path_factory):
     return str(d)
 
 
+def _ts(s: str | None):
+    return None if s is None else datetime.fromisoformat(s)
+
+
+def _events_rows():
+    """(event_id, ts, user_id, event_type, value, props) — every row is a
+    trap for some engine-semantics difference:
+
+    - NULL user_id (window PARTITION BY null group; equi-joins drop it;
+      row_number tie-break ordering of a NULL key),
+    - NULL ts (time-ordered operators: Spark sorts NULLS FIRST asc, DuckDB
+      NULLS LAST — the repo convention excludes untimestamped rows from
+      time-ordered operators, mirrored in the oracles),
+    - NULL / empty / malformed / non-object / non-integer-k props,
+    - NULL values incl. an event_type whose values are ALL NULL,
+    - exact (user_id, ts) duplicate events (as-of tie groups),
+    - total_value ties straddling the top-k rank cutoff with a NULL
+      user_id in the tie,
+    - a funnel click at the same timestamp as the first view (strict >),
+    - single-event users / types, microsecond-adjacent timestamps.
+    """
+    return [
+        (0, _ts("2024-03-01 00:00:00"), 1, "view", 10.0, '{"k": 1}'),
+        (1, _ts("2024-03-01 00:30:00"), 1, "click", 5.5, '{"k": 2}'),
+        (2, _ts("2024-03-01 01:00:00"), 1, "purchase", 99.99, '{"k": 3}'),
+        # 8 h gap -> new session for user 1
+        (3, _ts("2024-03-01 09:00:00"), 1, "view", 1.0, "{}"),
+        (4, _ts("2024-03-01 09:00:00"), 1, "click", 2.0, None),
+        # user 2: click BEFORE first view; click at the same ts as the view
+        (5, _ts("2024-03-01 00:10:00"), 2, "click", 7.0, "{bad json"),
+        (6, _ts("2024-03-01 00:20:00"), 2, "view", 3.0, '{"k": null}'),
+        (7, _ts("2024-03-01 00:20:00"), 2, "click", 4.0, '{"j": 9}'),
+        (8, _ts("2024-03-01 00:25:00"), 2, "click", None, '{"k": -5}'),
+        # user 3: all 'error' values NULL; click strictly after two errors
+        (9, _ts("2024-03-02 00:00:00"), 3, "error", None, None),
+        (10, _ts("2024-03-02 00:01:00"), 3, "error", None, '{"k": 0}'),
+        (11, _ts("2024-03-02 00:02:00"), 3, "click", 8.0, '{"k": 87}'),
+        (12, _ts("2024-03-02 00:03:00"), 3, "error", None, '{"k": 1}'),
+        # NULL user_id rows (one of them in the click top-k tie below)
+        (13, _ts("2024-03-01 05:00:00"), None, "view", 2.5, '{"k": 4}'),
+        (14, _ts("2024-03-01 05:30:00"), None, "click", 2.5, '{"k": 4}'),
+        # NULL ts (excluded from time-ordered operators by convention)
+        (15, None, 4, "view", 6.0, '{"k": 7}'),
+        (16, _ts("2024-03-01 06:00:00"), 4, "view", 6.0, '{"k": 7}'),
+        # exact (user_id, ts) duplicate clicks: as-of tie group
+        (17, _ts("2024-03-01 06:00:00"), 4, "click", 1.25, '{"k": 2.7}'),
+        (18, _ts("2024-03-01 06:00:00"), 4, "click", 1.75, '{"k": "x"}'),
+        # user 5: empty-string and non-object props; NULL event_type rows
+        (19, _ts("2024-03-02 10:00:00"), 5, "signup", 0.0, ""),
+        (20, _ts("2024-03-02 10:00:00"), 5, "signup", 0.0, "[]"),
+        (21, _ts("2024-03-02 10:05:00"), 5, None, -3.5, '{"k": 1}'),
+        (22, _ts("2024-03-02 10:06:00"), 5, None, -3.5, '{"k": 1}'),
+        # user 6: purchase with no view/click; microsecond-adjacent view
+        (23, _ts("2024-03-03 00:00:00"), 6, "purchase", 42.0, '{"k": 100}'),
+        (24, _ts("2024-03-03 00:00:00.000001"), 6, "view", 42.0, '{"k": 100}'),
+        # user 7 ties user 5's signup total (0.0) -> rank tie-break
+        (25, _ts("2024-03-02 11:00:00"), 7, "signup", 0.0, None),
+        (26, _ts("2024-03-02 11:00:00"), 7, "signup", None, None),
+        # one non-NULL 'error' value so that type mixes NULL/non-NULL totals
+        (27, _ts("2024-03-02 12:00:00"), 8, "error", 5.0, '{"k": 3}'),
+        # user 9 ties the NULL-user click total (2.5) EXACTLY at the k=5
+        # rank cutoff for 'click' (6 click groups) -> NULL-key ordering
+        (28, _ts("2024-03-01 07:00:00"), 9, "click", 2.5, '{"k": 11}'),
+        # 'refund': single-row type whose only value is NULL
+        (29, _ts("2024-03-03 01:00:00"), 10, "refund", None, None),
+        # NULL-ts error AND click for a user who has real matches: the
+        # as-of convention excludes both (a null-ts click would become a
+        # running "last seen" in Spark's union-tag window but never match
+        # DuckDB's ASOF l.ts >= r.ts)
+        (30, None, 3, "error", None, None),
+        (31, None, 3, "click", 1.0, None),
+    ]
+
+
+@pytest.fixture(scope="module")
+def hostile_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_events_sf")
+    rows = _events_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -171,19 +284,19 @@ def test_fixture_selects_a_real_slice():
     assert len(names) >= 35, names
 
 
-def test_hostile_corpus_cross_engine(spark, hostile_dir):
+def _cross_engine_failures(spark, fixture_dir, tables, names):
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in tables:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{hostile_dir}/{t}.parquet')"
+            f"read_parquet('{fixture_dir}/{t}.parquet')"
         )
     failures = []
-    for name in _doc_emb_queries():
+    for name in names:
         try:
-            sdf = queries[name](spark, hostile_dir)
+            sdf = queries[name](spark, fixture_dir)
             scols = sorted(sdf.columns)
             srows = sdf.collect()
         except Exception as e:  # noqa: BLE001
@@ -218,4 +331,36 @@ def test_hostile_corpus_cross_engine(spark, hostile_dir):
             failures.append(
                 f"{name}: value mismatch; first spark={bad[0]} duck={bad[1]}"
             )
+    return failures
+
+
+def test_hostile_corpus_cross_engine(spark, hostile_dir):
+    failures = _cross_engine_failures(
+        spark, hostile_dir, ("documents", "embeddings"), _doc_emb_queries()
+    )
+    assert not failures, "\n".join(failures)
+
+
+def _events_only_queries():
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    return [
+        name
+        for name, sql in oracles.items()
+        if name in queries
+        and name not in _SCALE_CONTRACT
+        and re.search(r"\bevents\b", sql, re.IGNORECASE)
+        and not _NOT_EVENTS_ONLY.search(sql)
+    ]
+
+
+def test_events_fixture_selects_a_real_slice():
+    names = _events_only_queries()
+    assert len(names) >= 10, names
+
+
+def test_hostile_events_cross_engine(spark, hostile_events_dir):
+    failures = _cross_engine_failures(
+        spark, hostile_events_dir, ("events",), _events_only_queries()
+    )
     assert not failures, "\n".join(failures)
