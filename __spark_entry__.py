@@ -108,11 +108,7 @@ _DRIVER_WINDOW = [
     "tpch_customer_distribution",
     # (b) last driver-checked round 2, rotated back in (oldest evidence)
     "transcripts_roundtrip",
-    "performance_metrics",
-    "endpoint_stats_timeframe",
     "format_detection",
-    "brute_force",
-    "suspicious_ips",
     "tool_invocations",
     "conversation_alert_rates",
     "dedup_simhash",
@@ -145,6 +141,18 @@ _DRIVER_WINDOW = [
     "dup_canonical_docs",
     "cross_source_dup_rates",
     "lm_bigram_score",
+    # (e) round-4 late additions (first driver rows): per-source frequency
+    # cap, DSIR E-S resampling, Heaps-law vocab growth, robust winnowing.
+    # Four (b)-group round-2 rows (performance_metrics,
+    # endpoint_stats_timeframe, brute_force, suspicious_ips) rotated back
+    # out to make room — each is semantically inside an r3-green row
+    # (endpoint_stats' agg family; security_events' detector union /
+    # ip_threat_scores' weighting) and their r2 evidence is 2 rounds old
+    # at r4, within the 3-round staleness bound; round-5 must-includes.
+    "source_cap_sample",
+    "dsir_sample",
+    "vocab_growth",
+    "winnowing_fingerprints",
 ]
 
 

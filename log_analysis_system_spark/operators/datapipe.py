@@ -562,3 +562,100 @@ def corpus_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
         .cast("bigint")
         .alias("cum_tokens"),
     )
+
+
+SOURCE_CAP = 10
+
+
+def source_cap_sample(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
+    """Per-source frequency cap (domain balancing): keep at most ``cap``
+    documents from every ``source``, chosen by a deterministic
+    pseudo-random priority — the web-curation rule RefinedWeb/Dolma apply
+    per URL-domain so that a handful of mega-domains can't dominate the
+    mixture (reference analog: the suspicious-IP frequency thresholds in
+    ``analyzer.py`` are the same "cap the heavy hitter" shape, applied
+    here at corpus scale).
+
+    Priority is ``md5_hash60(text)`` tie-broken by ``doc_id`` — a seeded
+    shuffle both engines compute identically (no ``rand()``; same policy
+    as :func:`token_budget_sample`, which budgets by tokens where this
+    caps by row count). NULLS LAST is pinned on the priority so a NULL
+    text sorts identically cross-engine.
+
+    Output: kept rows only — ``(doc_id, source, keep_rank,
+    n_source_docs)`` with ``keep_rank <= cap`` and ``n_source_docs`` the
+    PRE-cap size of the doc's source (so downstream reporting can tell
+    capped sources from small ones without a second scan).
+
+    Scale shape (100 TB): one hash-partition shuffle on ``source``; both
+    window passes (rank + partition count) share it. Only (doc_id,
+    source, pri) shuffles — never text. A mega-source whose row count
+    breaks the per-partition sort should be pre-split with the salting
+    pattern (``relational.salted_turn_counts``) and capped per split.
+    """
+    sized = docs.select(
+        "doc_id", "source", md5_hash60(F.col("text")).alias("pri")
+    )
+    order = Window.partitionBy("source").orderBy(
+        F.col("pri").asc_nulls_last(), "doc_id"
+    )
+    whole = Window.partitionBy("source")
+    return (
+        sized.select(
+            "doc_id",
+            "source",
+            F.row_number().over(order).alias("keep_rank"),
+            F.count("*").over(whole).cast("bigint").alias("n_source_docs"),
+        )
+        .where(F.col("keep_rank") <= cap)
+    )
+
+
+DSIR_SAMPLE_N = 100
+
+
+def dsir_sample(docs: DataFrame, n: int = DSIR_SAMPLE_N) -> DataFrame:
+    """DSIR importance RESAMPLING realized: draw ``n`` documents without
+    replacement with probability proportional to their importance weight,
+    via the Efraimidis–Spirakis exponential-key construction (Inf. Proc.
+    Letters 97(5), 2006) — the selection step that turns
+    :func:`~..operators.textstats.dsir_weights` scores into an actual
+    training subset (Xie et al. 2023 §2.2 "resample k documents").
+
+    Key construction: weight ``w = exp(dsir_logweight / n_tokens)`` (the
+    per-token mean log-ratio — length-debiased, and bounded by the bucket
+    log-ratio range so ``exp`` can't overflow on long documents), uniform
+    draw ``u = (md5_hash60(doc_id)+1) / 2^60`` (deterministic, exact
+    IEEE division of an exact integer — no ``rand()``), and the E-S key
+    in log space ``es_key = ln(u) / w``; the ``n`` LARGEST keys win.
+    ``round(·, 6) + 0`` pins the cross-engine float contract (the ``+ 0``
+    collapses ``-0.0`` to ``0.0`` on both engines); ties at the cutoff
+    break by doc_id on both.
+
+    Output: the selected rows — ``(doc_id, n_tokens, dsir_logweight,
+    es_key)``.
+
+    Scale shape (100 TB): the weights frame is :func:`dsir_weights`'s
+    one-scan/broadcast shape; selection is ``orderBy(...).limit(n)`` =
+    Spark's distributed TakeOrdered (per-partition top-n, then an O(n)
+    driver merge) — NO global sort materializes.
+    """
+    from .textstats import dsir_weights
+
+    w = dsir_weights(docs)
+    u = (md5_hash60(F.col("doc_id").cast("string")) + 1).cast(
+        "double"
+    ) / float(2**60)
+    es_key = (
+        F.round(
+            F.log(u)
+            / F.exp(F.col("dsir_logweight") / F.col("n_tokens")),
+            6,
+        )
+        + F.lit(0.0)
+    ).alias("es_key")
+    return (
+        w.select("doc_id", "n_tokens", "dsir_logweight", es_key)
+        .orderBy(F.col("es_key").desc_nulls_last(), "doc_id")
+        .limit(n)
+    )

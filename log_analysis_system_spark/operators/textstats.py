@@ -1011,3 +1011,149 @@ def lm_bigram_scores(docs: DataFrame) -> DataFrame:
             F.sum("nlp").cast("double") / F.sum("n"), 6
         ).alias("mean_neg_logp"),
     )
+
+
+VOCAB_GROWTH_SHARDS = 8
+
+
+def vocab_growth(docs: DataFrame, n_shards: int = VOCAB_GROWTH_SHARDS) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-term count
+    as a function of cumulative tokens across a deterministic sharding of
+    the corpus — the statistic a tokenizer-training run reads to size its
+    vocabulary ("does vocab growth flatten by shard s?") and a drift
+    monitor reads across crawl snapshots.
+
+    Shard assignment is ``md5_hash60(doc_id) % n_shards`` (the
+    :func:`~.datapipe.corpus_shards` policy — a seeded permutation, so
+    the curve is a reproducible random accumulation order, not crawl
+    order). A term's first appearance is ``min(shard_id)`` over its
+    occurrences; the cumulative vocabulary at shard ``s`` is then the
+    count of terms with ``first_shard <= s`` — all integer-exact.
+
+    Output: one row per non-empty shard — ``(shard_id, n_docs, n_tokens,
+    new_terms, cum_tokens, cum_vocab)``.
+
+    Scale shape (100 TB): the heavy agg shuffles (term) keys once —
+    vocab-sized, partial-agged map-side; per-shard totals are
+    ``n_shards`` cells (the distinct-doc count expands to (shard, doc)
+    partials, still far below token volume). The cumulative window runs
+    over ``n_shards`` rows — driver-trivial, single partition by design.
+    """
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    tok = docs.select(
+        (h % n_shards).cast("int").alias("shard_id"),
+        "doc_id",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    )
+    per_shard = tok.groupBy("shard_id").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    new_terms = (
+        tok.groupBy("t")
+        .agg(F.min("shard_id").alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(F.count("*").cast("bigint").alias("new_terms"))
+    )
+    cum = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_shard.join(new_terms, "shard_id", "left")
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).cast("bigint").alias("new_terms"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "new_terms",
+            F.sum("n_tokens").over(cum).cast("bigint").alias("cum_tokens"),
+            F.sum("new_terms").over(cum).cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+WINNOW_K = 3  # words per k-gram
+WINNOW_W = 4  # consecutive hashes per winnowing window
+_WINNOW_POS_BASE = 1 << 20  # supports documents up to ~10^6 k-grams
+
+
+def winnowing_selections(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Robust winnowing fingerprint selection (Schleimer, Wilkerson,
+    Aiken, SIGMOD 2003 §4): hash every POSITIONAL word ``k``-gram, slide
+    a window of ``w`` consecutive hashes, and in each window select the
+    minimum hash, rightmost occurrence on ties. The distinct selected
+    (position, hash) pairs are the document's fingerprint — the
+    guarantee-bearing sparse sketch (any shared substring of length
+    ``k + w - 1`` words produces at least one shared fingerprint) that
+    MOSS-style overlap detection and span-level contamination audits are
+    built on; :func:`fingerprints`' bottom-n sketch has no such locality
+    guarantee.
+
+    Mechanics (identical on both engines, all integer-exact): each
+    (hash, position) is packed into one DECIMAL(38,0) key ``h * 2^20 +
+    (2^20 - pos)`` so that MIN(key) over the window is "min hash, then
+    RIGHTMOST position" in a single rolling aggregate; the selected pair
+    is unpacked with exact integer ``div``/``%``. Documents shorter than
+    ``k`` words have no k-gram and yield no rows (mirrored by the
+    oracle's length predicate); documents with ``m < w`` hashes form one
+    whole-document window (the last row's rolling min covers all ``m``).
+    Positions are capped by the 2^20 pack base — 10^6 k-grams ≈ a 5 MB
+    document at 5 bytes/word; raise the base for longer inputs.
+
+    Output: ``(doc_id, sel_pos, fp_hash)`` — 1-based gram position,
+    selected 60-bit hash; expected density 2/(w+1) of positions.
+
+    Scale shape (100 TB): fully doc-local — tokenize, build grams with
+    one array HOF pass, and run the rolling MIN inside a doc-partitioned
+    window; the only shuffle carries (doc_id, pos, key) scalar rows. At
+    10^12 turns the window sort is per-document (bounded by doc length),
+    and the DISTINCT collapses w-fold duplicate selections before any
+    downstream join touches them.
+    """
+    if not (k >= 1 and w >= 1):
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k} w={w}")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.array_join(F.slice("toks", i, k), " "),
+    )
+    ph = (
+        tok.where(F.size("toks") >= k)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_hash60(F.col("gram")).alias("h"),
+        )
+    )
+    base = _WINNOW_POS_BASE
+    key = (
+        F.col("h").cast("decimal(38,0)") * F.lit(base)
+        + (F.lit(base) - F.col("pos"))
+    ).alias("key")
+    roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    whole = Window.partitionBy("doc_id")
+    rolled = ph.select("doc_id", "pos", key).select(
+        "doc_id",
+        "pos",
+        F.min("key").over(roll).alias("kmin"),
+        F.max("pos").over(whole).alias("m"),
+    )
+    return (
+        rolled.where((F.col("pos") >= w) | (F.col("pos") == F.col("m")))
+        .select(
+            "doc_id",
+            (F.lit(base) - F.expr(f"CAST(kmin % {base} AS INT)")).alias(
+                "sel_pos"
+            ),
+            F.expr(f"kmin div {base}").alias("fp_hash"),
+        )
+        .distinct()
+    )

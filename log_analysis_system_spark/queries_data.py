@@ -402,6 +402,30 @@ def q_lm_bigram_score(spark, sf_dir):
     return ts.lm_bigram_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_source_cap_sample(spark, sf_dir):
+    """Per-source frequency cap: at most SOURCE_CAP docs per source,
+    md5-priority selected (the RefinedWeb/Dolma domain-balancing rule)."""
+    return dp.source_cap_sample(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR resampling realized: Efraimidis-Spirakis weighted sampling
+    without replacement over the dsir_weights frame."""
+    return dp.dsir_sample(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve over a deterministic sharding."""
+    return ts.vocab_growth(_docs(spark, sf_dir)).orderBy("shard_id")
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Robust winnowing (SIGMOD 2003) fingerprint selection per doc."""
+    return ts.winnowing_selections(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "sel_pos"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -464,6 +488,10 @@ QUERIES = {
     "dup_canonical_docs": q_dup_canonical_docs,
     "cross_source_dup_rates": q_cross_source_dup_rates,
     "lm_bigram_score": q_lm_bigram_score,
+    "source_cap_sample": q_source_cap_sample,
+    "dsir_sample": q_dsir_sample,
+    "vocab_growth": q_vocab_growth,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
 }
 
 
@@ -1730,4 +1758,140 @@ scored AS (
 SELECT doc_id, count(*) AS n_bigrams,
        round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS mean_neg_logp
 FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# Per-source cap: row_number over the shared md5 priority; NULLS LAST
+# pinned on the Spark side to match DuckDB's default, ::INT to match
+# Spark's int row_number
+ORACLES["source_cap_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, source, {DUCK_HASH60.format(x="text")} AS pri
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY pri ASC NULLS LAST, doc_id
+         )::INT AS keep_rank,
+         (count(*) OVER (PARTITION BY source))::BIGINT AS n_source_docs
+  FROM s
+)
+SELECT doc_id, source, keep_rank, n_source_docs
+FROM r WHERE keep_rank <= {dp.SOURCE_CAP}
+ORDER BY doc_id
+"""
+
+# DSIR E-S sampling: the dsir_weights CTE chain verbatim, then the
+# exponential key — u is an exact-integer-over-2^60 double on both
+# engines; weight exponent is the per-token mean of the 6-dp logweight;
+# "+ 0" collapses -0.0 to 0.0 on both engines
+ORACLES["dsir_sample"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ({DUCK_HASH60.format(x="t")}) % {ts.DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({_TOK}) AS t FROM documents)
+),
+cells AS (
+  SELECT bucket, count(*) AS c_r,
+         count(*) FILTER (lang = '{ts.DSIR_TARGET_LANG}') AS c_t
+  FROM tok GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t
+  FROM cells
+),
+model AS (
+  SELECT bucket,
+         CAST(ln((c_t + 1.0) / (n_t + {ts.DSIR_BUCKETS}))
+              - ln((c_r + 1.0) / (n_r + {ts.DSIR_BUCKETS}))
+              AS DECIMAL(28,10)) AS logratio
+  FROM cells CROSS JOIN totals
+),
+wts AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(CAST(sum(logratio) AS DOUBLE), 6) AS dsir_logweight
+  FROM tok JOIN model USING (bucket) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_tokens, dsir_logweight,
+         round(
+           ln((({DUCK_HASH60.format(x="doc_id::VARCHAR")}) + 1)::DOUBLE
+              / 1152921504606846976.0)
+           / exp(dsir_logweight / n_tokens), 6) + 0 AS es_key
+  FROM wts
+)
+SELECT doc_id, n_tokens, dsir_logweight, es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT {dp.DSIR_SAMPLE_N}
+"""
+
+# Heaps-law growth: all-integer (first-shard of each term, cumulative
+# sums over the n_shards-row frame)
+ORACLES["vocab_growth"] = f"""
+WITH tok AS (
+  SELECT (({DUCK_HASH60.format(x="doc_id::VARCHAR")})
+          % {ts.VOCAB_GROWTH_SHARDS})::INT AS shard_id,
+         doc_id, unnest({_TOK}) AS t
+  FROM documents
+),
+per AS (
+  SELECT shard_id, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_tokens
+  FROM tok GROUP BY shard_id
+),
+firsts AS (SELECT min(shard_id) AS shard_id FROM tok GROUP BY t),
+newt AS (
+  SELECT shard_id, count(*)::BIGINT AS new_terms FROM firsts GROUP BY shard_id
+)
+SELECT p.shard_id, p.n_docs, p.n_tokens,
+       coalesce(n2.new_terms, 0)::BIGINT AS new_terms,
+       (sum(p.n_tokens) OVER w)::BIGINT AS cum_tokens,
+       (sum(coalesce(n2.new_terms, 0)) OVER w)::BIGINT AS cum_vocab
+FROM per p LEFT JOIN newt n2 USING (shard_id)
+WINDOW w AS (ORDER BY p.shard_id ROWS UNBOUNDED PRECEDING)
+ORDER BY p.shard_id
+"""
+
+# Winnowing: positional k-gram hashes packed into one HUGEINT key
+# (min hash, rightmost position) so the rolling MIN is the whole
+# selection rule; docs shorter than k words yield no rows on both engines
+ORACLES["winnowing_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+  WHERE len({_TOK}) >= {ts.WINNOW_K}
+),
+p AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {ts.WINNOW_K - 1})) AS pos
+  FROM t
+),
+g AS (
+  SELECT doc_id, pos,
+         {DUCK_HASH60.format(
+             x="array_to_string(toks[pos:pos+" + str(ts.WINNOW_K - 1) + "], ' ')"
+         )} AS h
+  FROM p
+),
+keyed AS (
+  SELECT doc_id, pos,
+         h::HUGEINT * {ts._WINNOW_POS_BASE}
+           + ({ts._WINNOW_POS_BASE} - pos) AS key
+  FROM g
+),
+rolled AS (
+  SELECT doc_id, pos,
+         min(key) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {ts.WINNOW_W - 1} PRECEDING AND CURRENT ROW
+         ) AS kmin,
+         max(pos) OVER (PARTITION BY doc_id) AS m
+  FROM keyed
+)
+SELECT DISTINCT doc_id,
+       ({ts._WINNOW_POS_BASE} - (kmin % {ts._WINNOW_POS_BASE}))::INT
+         AS sel_pos,
+       (kmin // {ts._WINNOW_POS_BASE})::BIGINT AS fp_hash
+FROM rolled
+WHERE pos >= {ts.WINNOW_W} OR pos = m
+ORDER BY doc_id, sel_pos
 """

@@ -1199,3 +1199,152 @@ def test_lm_bigram_flags_shuffled_boilerplate(spark):
     )
     got = {r.doc_id: r.mean_neg_logp for r in ts.lm_bigram_scores(docs).collect()}
     assert got[8] > got[0]
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_source_cap_sample_caps_and_reports_precap_size(spark):
+    from log_analysis_system_spark.operators import datapipe as dp
+
+    docs = spark.createDataFrame(
+        [(i, "big", f"text {i}") for i in range(6)]
+        + [(10 + i, "mid", f"other {i}") for i in range(3)]
+        + [(20, "tiny", "solo")],
+        ["doc_id", "source", "text"],
+    )
+    out = dp.source_cap_sample(docs, cap=2).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["big"]) == 2
+    assert len(by_src["mid"]) == 2
+    assert len(by_src["tiny"]) == 1
+    # pre-cap sizes survive onto the kept rows
+    assert all(r["n_source_docs"] == 6 for r in by_src["big"])
+    assert all(r["n_source_docs"] == 1 for r in by_src["tiny"])
+    assert all(1 <= r["keep_rank"] <= 2 for r in out)
+    # determinism: the kept set is a function of content, not partitioning
+    out2 = dp.source_cap_sample(docs.repartition(7), cap=2).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in out2
+    )
+    # kept docs are exactly the cap lowest md5(text) priorities per source
+    import hashlib
+
+    for src, rows in by_src.items():
+        pool = [r for r in docs.collect() if r["source"] == src]
+        expect = sorted(
+            pool, key=lambda r: (_h60(r["text"]), r["doc_id"])
+        )[:2]
+        assert sorted(r["doc_id"] for r in rows) == sorted(
+            r["doc_id"] for r in expect
+        )
+
+
+def test_dsir_sample_is_exact_top_n_by_exponential_key(spark):
+    import math
+
+    from log_analysis_system_spark.operators import datapipe as dp
+    from log_analysis_system_spark.operators import textstats as tsm
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j % (3 + i)}" for j in range(12)),
+             "en" if i % 2 == 0 else "de")
+            for i in range(12)
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    full = {r["doc_id"]: r for r in dsir_all(dp, docs)}
+    picked = dp.dsir_sample(docs, n=5).collect()
+    assert len(picked) == 5
+    # the selected keys dominate every unselected key ((key, doc_id) order)
+    sel_ids = {r["doc_id"] for r in picked}
+    worst_sel = min((r["es_key"], -r["doc_id"]) for r in picked)
+    best_unsel = max(
+        (r["es_key"], -d) for d, r in full.items() if d not in sel_ids
+    )
+    assert worst_sel >= best_unsel
+    # keys reproduce the documented formula from the weights frame
+    wts = {r["doc_id"]: r for r in tsm.dsir_weights(docs).collect()}
+    for r in picked:
+        w = wts[r["doc_id"]]
+        u = (_h60(str(r["doc_id"])) + 1) / float(2**60)
+        expect = round(
+            math.log(u) / math.exp(w["dsir_logweight"] / w["n_tokens"]), 6
+        )
+        assert abs(r["es_key"] - expect) < 1e-9
+
+
+def dsir_all(dp, docs):
+    return dp.dsir_sample(docs, n=10**6).collect()
+
+
+def test_vocab_growth_totals_and_monotonicity(spark):
+    texts = ["a b c", "a b", "d e a", "f", "a a a", "g h", "b d", "c c f"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    # single shard: the whole corpus in one row
+    one = ts.vocab_growth(docs, n_shards=1).collect()
+    assert len(one) == 1
+    assert one[0]["n_docs"] == 8
+    assert one[0]["n_tokens"] == sum(len(t.split(" ")) for t in texts)
+    assert one[0]["cum_vocab"] == len({w for t in texts for w in t.split(" ")})
+    # multi-shard: conservation + monotone cumulative curve
+    rows = sorted(
+        ts.vocab_growth(docs, n_shards=4).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert sum(r["n_docs"] for r in rows) == 8
+    assert sum(r["new_terms"] for r in rows) == one[0]["cum_vocab"]
+    assert rows[-1]["cum_tokens"] == one[0]["n_tokens"]
+    assert rows[-1]["cum_vocab"] == one[0]["cum_vocab"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] == a["cum_tokens"] + b["n_tokens"]
+        assert b["cum_vocab"] == a["cum_vocab"] + b["new_terms"]
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-python reference: rolling min over w hashes, rightmost tie."""
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    hs = [
+        _h60(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)
+    ]
+    sel = set()
+    m = len(hs)
+    for end in range(min(w, m) - 1, m):
+        lo = max(0, end - w + 1)
+        if end + 1 >= w or end == m - 1:
+            win = hs[lo : end + 1]
+            mn = min(win)
+            pos = max(i for i in range(lo, end + 1) if hs[i] == mn)
+            sel.add((pos + 1, mn))
+    return sel
+
+
+def test_winnowing_matches_reference_and_guarantee(spark):
+    a = "a b a b a b a b c"          # heavy hash ties
+    b = "z z q q a b a b a b x y"    # shares a >= k+w-1 word run with a
+    c = "p q"                        # shorter than k: no rows
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], ["doc_id", "text"]
+    )
+    got: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in ts.winnowing_selections(docs, k=3, w=4).collect():
+        got[r["doc_id"]].add((r["sel_pos"], r["fp_hash"]))
+    assert got[0] == _winnow_ref(a, 3, 4)
+    assert got[1] == _winnow_ref(b, 3, 4)
+    assert got[2] == set()
+    # the winnowing guarantee: a shared window-length substring implies a
+    # shared fingerprint HASH between the two docs
+    assert {h for _, h in got[0]} & {h for _, h in got[1]}
+    # density: every position gap between selections is <= w
+    pos0 = sorted(p for p, _ in got[0])
+    assert all(nb - na <= 4 for na, nb in zip(pos0, pos0[1:]))

@@ -128,6 +128,15 @@ SHOW = [
     ("lm_bigram_score", "row-local zip_with bigrams -> (w1,w2)-keyed "
      "model agg -> scoring join on the bigram key; 1-row vocab frame "
      "broadcast (the allowlisted BNLJ)"),
+    ("source_cap_sample", "domain-cap: ONE source-key shuffle shared by "
+     "both window passes (rank + pre-cap count); only (doc_id, source, "
+     "pri) shuffles, never text"),
+    ("dsir_sample", "E-S weighted sampling: dsir model broadcast, then "
+     "TakeOrderedAndProject (distributed top-n) — NO global sort node"),
+    ("vocab_growth", "term-keyed first-shard agg (vocab-sized, partial "
+     "map-side) + n_shards-row cumulative window"),
+    ("winnowing_fingerprints", "doc-local rolling-MIN window over packed "
+     "(hash,pos) DECIMAL keys; one doc_id shuffle of scalar rows"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
