@@ -111,7 +111,6 @@ _DRIVER_WINDOW = [
     "format_detection",
     "tool_invocations",
     "conversation_alert_rates",
-    "dedup_simhash",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
     # k-means + its two downstream curation queries
@@ -153,6 +152,12 @@ _DRIVER_WINDOW = [
     "dsir_sample",
     "vocab_growth",
     "winnowing_fingerprints",
+    # (e) the winnowing-powered MOSS overlap report; dedup_simhash (r2
+    # evidence, banded-Hamming mechanics also judge-verified at HEAD)
+    # rotated out — near-dup-family driver evidence stays in-window via
+    # the three verified-pair-stream queries (dup_cluster_sizes,
+    # dup_canonical_docs, cross_source_dup_rates).
+    "winnow_overlap",
 ]
 
 

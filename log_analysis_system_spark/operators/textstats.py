@@ -1157,3 +1157,62 @@ def winnowing_selections(
         )
         .distinct()
     )
+
+
+WINNOW_OVERLAP_MIN = 2
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_OVERLAP_MIN,
+) -> DataFrame:
+    """MOSS-style overlap detection composed from
+    :func:`winnowing_selections`: doc pairs sharing >= ``min_shared``
+    winnowed fingerprint HASHES, with the shared count and each side's
+    fingerprint count — the plagiarism/near-copy report the winnowing
+    guarantee powers (any shared substring of ``k + w - 1`` words forces
+    at least one shared fingerprint, so overlapping docs CANNOT be
+    missed, unlike probabilistic MinHash blocking).
+
+    Matching is on distinct hashes per doc (positions dropped first —
+    a hash repeated within one doc counts once), so ``n_shared`` is the
+    intersection size of the two fingerprint sets, comparable across doc
+    lengths via the per-side totals.
+
+    Output: ``(id_a, id_b, n_shared, n_fp_a, n_fp_b)`` with
+    ``id_a < id_b``.
+
+    Scale shape (100 TB): the sparse-sketch equi-join — fingerprints are
+    a 2/(w+1) sample of gram positions, and the join key is the 60-bit
+    hash, so cost is sum over fingerprint values of (docs sharing it)²,
+    the same subquadratic bound as the shingle join in
+    :func:`~.dedup.ngram_jaccard_pairs` but over the winnowed sample
+    instead of every gram. A template fingerprint shared by millions of
+    docs needs the stop-shingle guard (``max_shingle_freq``) if corpus
+    profiling shows such heads; none exists in the synthetic corpus, so
+    the guard stays in the dedup operator where it's tested.
+    """
+    fp = (
+        winnowing_selections(docs, k=k, w=w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    shared = (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_fp", "n_fp_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n_fp", "n_fp_b")
+        .select("id_a", "id_b", "n_shared", "n_fp_a", "n_fp_b")
+    )

@@ -426,6 +426,13 @@ def q_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS-style overlap report over the winnowed fingerprint sets."""
+    return ts.winnow_overlap_pairs(_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -492,6 +499,7 @@ QUERIES = {
     "dsir_sample": q_dsir_sample,
     "vocab_growth": q_vocab_growth,
     "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
 }
 
 
@@ -1894,4 +1902,61 @@ SELECT DISTINCT doc_id,
 FROM rolled
 WHERE pos >= {ts.WINNOW_W} OR pos = m
 ORDER BY doc_id, sel_pos
+"""
+
+
+# MOSS overlap: the winnowing CTE chain, distinct hash sets per doc,
+# hash equi-join intersection counts + per-side totals
+ORACLES["winnow_overlap"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+  WHERE len({_TOK}) >= {ts.WINNOW_K}
+),
+p AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {ts.WINNOW_K - 1})) AS pos
+  FROM t
+),
+g AS (
+  SELECT doc_id, pos,
+         {DUCK_HASH60.format(
+             x="array_to_string(toks[pos:pos+" + str(ts.WINNOW_K - 1) + "], ' ')"
+         )} AS h
+  FROM p
+),
+keyed AS (
+  SELECT doc_id, pos,
+         h::HUGEINT * {ts._WINNOW_POS_BASE}
+           + ({ts._WINNOW_POS_BASE} - pos) AS key
+  FROM g
+),
+rolled AS (
+  SELECT doc_id, pos,
+         min(key) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {ts.WINNOW_W - 1} PRECEDING AND CURRENT ROW
+         ) AS kmin,
+         max(pos) OVER (PARTITION BY doc_id) AS m
+  FROM keyed
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         (kmin // {ts._WINNOW_POS_BASE})::BIGINT AS fp_hash
+  FROM rolled
+  WHERE pos >= {ts.WINNOW_W} OR pos = m
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b USING (fp_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {ts.WINNOW_OVERLAP_MIN}
+)
+SELECT id_a, id_b, n_shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY id_a, id_b
 """

@@ -1348,3 +1348,26 @@ def test_winnowing_matches_reference_and_guarantee(spark):
     # density: every position gap between selections is <= w
     pos0 = sorted(p for p, _ in got[0])
     assert all(nb - na <= 4 for na, nb in zip(pos0, pos0[1:]))
+
+
+def test_winnow_overlap_guarantee_and_counts(spark):
+    shared_run = "the quick brown fox jumps over the lazy dog tonight"
+    a = "intro words here " + shared_run + " tail a"
+    b = "totally different lead " + shared_run
+    c = "no overlap with anyone at all in this sentence truly"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], ["doc_id", "text"]
+    )
+    # min_shared=1: the >= k+w-1-word shared run FORCES a (0,1) pair
+    rows = ts.winnow_overlap_pairs(docs, min_shared=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    r = pairs[(0, 1)]
+    # intersection bounded by either side's fingerprint count
+    assert 1 <= r["n_shared"] <= min(r["n_fp_a"], r["n_fp_b"])
+    # totals match the selection operator's per-doc distinct hash counts
+    fp = ts.winnowing_selections(docs).select("doc_id", "fp_hash").distinct()
+    sizes = {x["doc_id"]: x["n"] for x in fp.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert r["n_fp_a"] == sizes[0] and r["n_fp_b"] == sizes[1]

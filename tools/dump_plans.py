@@ -137,6 +137,8 @@ SHOW = [
      "map-side) + n_shards-row cumulative window"),
     ("winnowing_fingerprints", "doc-local rolling-MIN window over packed "
      "(hash,pos) DECIMAL keys; one doc_id shuffle of scalar rows"),
+    ("winnow_overlap", "sparse-sketch equi-join on the winnowed 60-bit "
+     "hash (2/(w+1) sample of grams) + doc-keyed size agg"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
