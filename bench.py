@@ -76,6 +76,13 @@ DATA_HEADLINE = [
     # shape — bigram-keyed model join); canonical selection and the
     # cross-source matrix ride the already-benched components/pair frames
     "lm_bigram_score",
+    # round-4 late additions: winnowing is the new heavy compute shape
+    # (positional gram hash + rolling-MIN windows); dsir_sample adds the
+    # TakeOrdered top-n over the dsir model pipeline. source_cap /
+    # vocab_growth / winnow_overlap ride already-benched shapes (window
+    # rank over scalar keys; term-keyed agg; sparse equi-join).
+    "winnowing_fingerprints",
+    "dsir_sample",
 ]
 
 
