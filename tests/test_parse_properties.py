@@ -192,3 +192,32 @@ def test_entropy_and_gopher_invariants(spark, texts):
             r["r_word_count"] and r["r_mean_len"] and r["r_symbol"]
             and r["r_alpha"] and r["r_stopwords"]
         )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(WORD, min_size=6, max_size=14),   # the shared run (>= k+w-1)
+    st.lists(WORD, min_size=0, max_size=8),    # doc-a prefix
+    st.lists(WORD, min_size=0, max_size=8),    # doc-b suffix
+)
+def test_winnowing_guarantee_and_density(spark, run, pre, suf):
+    """SIGMOD'03 §4 guarantee, property-tested: for ANY two docs sharing
+    a k+w-1-word run, the winnowed fingerprint hash sets intersect; and
+    within any doc, consecutive selected positions are <= w apart."""
+    from log_analysis_system_spark.operators import textstats as ts
+
+    k, w = ts.WINNOW_K, ts.WINNOW_W
+    assert len(run) >= k + w - 1
+    a = " ".join(pre + run)
+    b = " ".join(run + suf)
+    docs = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    sel: dict[int, list] = {0: [], 1: []}
+    for r in ts.winnowing_selections(docs, k=k, w=w).collect():
+        sel[r["doc_id"]].append((r["sel_pos"], r["fp_hash"]))
+    assert {h for _, h in sel[0]} & {h for _, h in sel[1]}
+    for rows in sel.values():
+        pos = sorted(p for p, _ in rows)
+        assert pos, rows
+        # first selection within the first window; gaps bounded by w
+        assert pos[0] <= w
+        assert all(nb - na <= w for na, nb in zip(pos, pos[1:]))
