@@ -109,7 +109,6 @@ _DRIVER_WINDOW = [
     # (b) last driver-checked round 2, rotated back in (oldest evidence)
     "transcripts_roundtrip",
     "format_detection",
-    "tool_invocations",
     "conversation_alert_rates",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
@@ -158,6 +157,11 @@ _DRIVER_WINDOW = [
     # the three verified-pair-stream queries (dup_cluster_sizes,
     # dup_canonical_docs, cross_source_dup_rates).
     "winnow_overlap",
+    # (e) exact-moment Pearson signal matrix; tool_invocations (r2
+    # evidence; its per-tool count agg is the same single-shuffle partial
+    # agg family as conversation_alert_rates, still in-window) rotated
+    # out — round-5 must-include.
+    "signal_correlations",
 ]
 
 

@@ -1216,3 +1216,99 @@ def winnow_overlap_pairs(
         .withColumnRenamed("n_fp", "n_fp_b")
         .select("id_a", "id_b", "n_shared", "n_fp_a", "n_fp_b")
     )
+
+
+QUALITY_CORR_SIGNALS = [
+    "alpha_ratio",
+    "mean_token_len",
+    "n_tokens",
+    "stopword_ratio",
+]
+
+
+def signal_correlations(docs: DataFrame) -> DataFrame:
+    """Signal-redundancy audit: pairwise Pearson correlation between the
+    per-doc quality signals (the :func:`quality_exprs` family) — the
+    check a curation pipeline runs before stacking filters ("is
+    alpha_ratio just stopword_ratio in disguise on this corpus?") and a
+    drift monitor runs across crawl snapshots.
+
+    Cross-engine float contract: each 6-dp signal is lifted to exact
+    64-bit fixed point (``round(x * 1e6)`` as BIGINT), ALL moment sums
+    (Σx, Σx², Σxy) run in DECIMAL — partition-order-free and exact — and
+    only the final scale-invariant combination
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    is computed in DOUBLE and rounded (Pearson is invariant under the
+    1e6 affine lift, so the fixed-point detour changes nothing). A pair
+    with zero variance on either side yields NULL. Rows where either
+    signal is NULL (empty-text alpha_ratio) are excluded per pair —
+    DuckDB's complete-case convention.
+
+    Output: one row per unordered signal pair — ``(sig_a, sig_b, n_ab,
+    corr)``, ``sig_a < sig_b`` alphabetically.
+
+    Scale shape (100 TB): ONE row-local scan + ONE global partial
+    aggregate (every Σ map-side combines; the result frame is S² cells)
+    — zero joins, zero per-doc shuffle; the pair explosion happens on
+    the 1-row aggregate. The DECIMAL(38) moments hold to ~10^11 docs of
+    10^9-scaled signals; beyond that, center the signals first (shift
+    invariance) or bump to per-partition compensated sums.
+    """
+    q = quality_exprs(tokens(F.col("text")))
+    fixed = docs.select(
+        *[
+            F.round(q[s].cast("double") * 1e6)
+            .cast("bigint")
+            .alias(s)
+            for s in QUALITY_CORR_SIGNALS
+        ]
+    )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(QUALITY_CORR_SIGNALS)
+        for b in QUALITY_CORR_SIGNALS[i + 1 :]
+    ]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        p = f"{a}__{b}"
+        dec = "decimal(38,0)"
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"{p}__n"),
+            F.sum(F.when(both, F.col(a)).cast(dec)).alias(f"{p}__sx"),
+            F.sum(F.when(both, F.col(b)).cast(dec)).alias(f"{p}__sy"),
+            F.sum(
+                F.when(both, F.col(a).cast("decimal(19,0)") * F.col(b))
+            ).alias(f"{p}__sxy"),
+            F.sum(
+                F.when(both, F.col(a).cast("decimal(19,0)") * F.col(a))
+            ).alias(f"{p}__sxx"),
+            F.sum(
+                F.when(both, F.col(b).cast("decimal(19,0)") * F.col(b))
+            ).alias(f"{p}__syy"),
+        ]
+    wide = fixed.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        p = f"{a}__{b}"
+        n = F.col(f"{p}__n").cast("decimal(38,0)")
+        num = (n * F.col(f"{p}__sxy") - F.col(f"{p}__sx") * F.col(f"{p}__sy")).cast("double")
+        denx = (n * F.col(f"{p}__sxx") - F.col(f"{p}__sx") * F.col(f"{p}__sx")).cast("double")
+        deny = (n * F.col(f"{p}__syy") - F.col(f"{p}__sy") * F.col(f"{p}__sy")).cast("double")
+        corr = F.when(
+            (denx > 0) & (deny > 0),
+            F.round(num / F.sqrt(denx * deny), 6) + F.lit(0.0),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("sig_a"),
+                F.lit(b).alias("sig_b"),
+                F.col(f"{p}__n").cast("bigint").alias("n_ab"),
+                corr.alias("corr"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.sig_a", "s.sig_b", "s.n_ab", "s.corr")

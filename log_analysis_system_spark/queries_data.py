@@ -433,6 +433,13 @@ def q_winnow_overlap(spark, sf_dir):
     )
 
 
+def q_signal_correlations(spark, sf_dir):
+    """Exact-moment Pearson matrix over the quality-signal family."""
+    return ts.signal_correlations(_docs(spark, sf_dir)).orderBy(
+        "sig_a", "sig_b"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -500,6 +507,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnow_overlap": q_winnow_overlap,
+    "signal_correlations": q_signal_correlations,
 }
 
 
@@ -1959,4 +1967,49 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 ORDER BY id_a, id_b
+"""
+
+
+# Pearson over exact fixed-point moments: every sum is HUGEINT/DECIMAL
+# (order-free), only the scale-invariant final combination runs in
+# DOUBLE (r is invariant under the 1e6 affine lift); zero-variance
+# pairs -> NULL; complete-case per pair
+ORACLES["signal_correlations"] = f"""
+WITH base AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(round(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / length(text), 6) * 1000000.0) AS BIGINT) AS alpha_ratio,
+    CAST(round(round((length(text) - (len(t) - 1))::DOUBLE / len(t), 6)
+               * 1000000.0) AS BIGINT) AS mean_token_len,
+    CAST(round(len(t)::DOUBLE * 1000000.0) AS BIGINT) AS n_tokens,
+    CAST(round(round(len(list_filter(t, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+               / len(t), 6) * 1000000.0) AS BIGINT) AS stopword_ratio
+  FROM base
+),
+long AS (
+  SELECT doc_id, 'alpha_ratio' AS sig, alpha_ratio AS x FROM m
+  UNION ALL SELECT doc_id, 'mean_token_len', mean_token_len FROM m
+  UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM m
+  UNION ALL SELECT doc_id, 'stopword_ratio', stopword_ratio FROM m
+),
+mom AS (
+  SELECT a.sig AS sig_a, b.sig AS sig_b,
+         count(*)::HUGEINT AS n,
+         sum(a.x::HUGEINT) AS sx, sum(b.x::HUGEINT) AS sy,
+         sum(a.x::HUGEINT * b.x) AS sxy,
+         sum(a.x::HUGEINT * a.x) AS sxx,
+         sum(b.x::HUGEINT * b.x) AS syy
+  FROM long a JOIN long b USING (doc_id)
+  WHERE a.sig < b.sig AND a.x IS NOT NULL AND b.x IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT sig_a, sig_b, n::BIGINT AS n_ab,
+       CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+             AND (n * syy - sy * sy)::DOUBLE > 0
+            THEN round((n * sxy - sx * sy)::DOUBLE
+                       / sqrt((n * sxx - sx * sx)::DOUBLE
+                              * (n * syy - sy * sy)::DOUBLE), 6) + 0
+       END AS corr
+FROM mom ORDER BY sig_a, sig_b
 """

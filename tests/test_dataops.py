@@ -1371,3 +1371,50 @@ def test_winnow_overlap_guarantee_and_counts(spark):
     sizes = {x["doc_id"]: x["n"] for x in fp.groupBy("doc_id").agg(
         F.count("*").alias("n")).collect()}
     assert r["n_fp_a"] == sizes[0] and r["n_fp_b"] == sizes[1]
+
+
+def test_signal_correlations_matches_numpy_and_handles_degenerates(spark):
+    import numpy as np
+
+    texts = [
+        "the cat sat on the mat today",
+        "a b c d e f g h i j k l",
+        "completely alphabetic words flowing nicely along here",
+        "123 456 %%% !!! ???",
+        "",                       # empty: alpha_ratio NULL (complete-case)
+        "the the the and and is", # stopword-heavy
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = {
+        (r["sig_a"], r["sig_b"]): r
+        for r in ts.signal_correlations(docs).collect()
+    }
+    assert len(out) == 6
+    # recompute the quality signals per doc, mirror complete-case numpy
+    q = {
+        r["doc_id"]: r
+        for r in ts.quality_scores(docs).collect()
+    }
+    for (a, b), r in out.items():
+        xs, ys = [], []
+        for d in q.values():
+            if d[a] is not None and d[b] is not None:
+                xs.append(float(d[a]))
+                ys.append(float(d[b]))
+        assert r["n_ab"] == len(xs)
+        if np.std(xs) > 0 and np.std(ys) > 0:
+            expect = float(np.corrcoef(xs, ys)[0, 1])
+            assert abs(r["corr"] - expect) < 1e-4, (a, b, r["corr"], expect)
+        else:
+            assert r["corr"] is None
+    # the empty doc drops only from alpha_ratio pairs
+    assert out[("alpha_ratio", "n_tokens")]["n_ab"] == 5
+    assert out[("mean_token_len", "n_tokens")]["n_ab"] == 6
+    # zero-variance pair -> NULL corr
+    const = spark.createDataFrame(
+        [(i, "same same same") for i in range(4)], ["doc_id", "text"]
+    )
+    for r in ts.signal_correlations(const).collect():
+        assert r["corr"] is None

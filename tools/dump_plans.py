@@ -139,6 +139,8 @@ SHOW = [
      "(hash,pos) DECIMAL keys; one doc_id shuffle of scalar rows"),
     ("winnow_overlap", "sparse-sketch equi-join on the winnowed 60-bit "
      "hash (2/(w+1) sample of grams) + doc-keyed size agg"),
+    ("signal_correlations", "exact-moment Pearson: one row-local scan + "
+     "one global partial agg; pair explosion on the 1-row aggregate"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
