@@ -109,7 +109,6 @@ _DRIVER_WINDOW = [
     # (b) last driver-checked round 2, rotated back in (oldest evidence)
     "transcripts_roundtrip",
     "format_detection",
-    "conversation_alert_rates",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
     # k-means + its two downstream curation queries
@@ -162,6 +161,11 @@ _DRIVER_WINDOW = [
     # agg family as conversation_alert_rates, still in-window) rotated
     # out — round-5 must-include.
     "signal_correlations",
+    # (e) Zipf-slope fit over the vocab head; conversation_alert_rates
+    # (r2 evidence; windowed per-conv rate agg, same family as the
+    # in-window traffic_sliding / rolling windows) rotated out — round-5
+    # must-include.
+    "zipf_fit",
 ]
 
 

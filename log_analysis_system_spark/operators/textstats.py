@@ -1312,3 +1312,70 @@ def signal_correlations(docs: DataFrame) -> DataFrame:
     return wide.select(
         F.explode(F.array(*structs)).alias("s")
     ).select("s.sig_a", "s.sig_b", "s.n_ab", "s.corr")
+
+
+ZIPF_TOP_K = 64
+
+
+def zipf_fit(docs: DataFrame, top_k: int = ZIPF_TOP_K) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope of
+    ln(frequency) against ln(rank) for the ``top_k`` most frequent terms
+    — the corpus-health statistic behind "is this crawl natural language
+    or template spam?" (natural corpora fit slope ≈ −1; boilerplate
+    floods flatten the head) and a tokenizer-sizing companion to
+    :func:`vocab_growth`.
+
+    Rank is deterministic: count DESC, term ASC (ties at the ``top_k``
+    cutoff resolve identically on both engines). The regression reuses
+    the :func:`signal_correlations` exactness contract: ln values lifted
+    to 1e12 fixed point, moment sums in DECIMAL (order-free), the
+    scale-invariant slope / r² and the back-scaled intercept computed in
+    DOUBLE at the end, 6-dp rounded.
+
+    Output: ONE row — ``(n_terms, zipf_slope, zipf_intercept, r2)``;
+    NULL fit when fewer than 2 distinct ranks survive.
+
+    Scale shape (100 TB): vocab frequency agg (token-keyed, map-side
+    partial) → ``orderBy(...).limit(top_k)`` = TakeOrdered distributed
+    top-k (no global sort) → every later stage runs on the ≤top_k-row
+    frame (single-partition window + one tiny agg by construction).
+    """
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    head = freq.orderBy(F.col("c").desc(), "t").limit(top_k)
+    w = Window.orderBy(F.col("c").desc(), "t")
+    lifted = head.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e12)
+        .cast("decimal(28,0)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e12)
+        .cast("decimal(28,0)")
+        .alias("y"),
+    )
+    mom = lifted.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * 1e12)
+    r2 = F.when(deny > 0, F.round((num * num) / (denx * deny), 6))
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.when(denx > 0, F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        F.when(denx > 0, F.round(intercept, 6) + F.lit(0.0)).alias(
+            "zipf_intercept"
+        ),
+        F.when(denx > 0, r2).alias("r2"),
+    )

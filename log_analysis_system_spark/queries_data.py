@@ -440,6 +440,11 @@ def q_signal_correlations(spark, sf_dir):
     )
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law slope fit over the top-K vocabulary head."""
+    return ts.zipf_fit(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -508,6 +513,7 @@ QUERIES = {
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "signal_correlations": q_signal_correlations,
+    "zipf_fit": q_zipf_fit,
 }
 
 
@@ -2012,4 +2018,41 @@ SELECT sig_a, sig_b, n::BIGINT AS n_ab,
                               * (n * syy - sy * sy)::DOUBLE), 6) + 0
        END AS corr
 FROM mom ORDER BY sig_a, sig_b
+"""
+
+
+# Zipf fit: deterministic (count DESC, term) head, ln values in 1e12
+# fixed point, HUGEINT moment sums, unrounded slope feeds the intercept
+ORACLES["zipf_fit"] = f"""
+WITH tok AS (SELECT unnest({_TOK}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+head AS (SELECT t, c FROM freq ORDER BY c DESC, t LIMIT {ts.ZIPF_TOP_K}),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM head
+),
+lifted AS (
+  SELECT CAST(round(ln(r::DOUBLE) * 1e12) AS HUGEINT) AS x,
+         CAST(round(ln(c::DOUBLE) * 1e12) AS HUGEINT) AS y
+  FROM ranked
+),
+mom AS (
+  SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM lifted
+)
+SELECT n::BIGINT AS n_terms,
+  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+       THEN round((n * sxy - sx * sy)::DOUBLE
+                  / (n * sxx - sx * sx)::DOUBLE, 6) + 0 END AS zipf_slope,
+  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+       THEN round((sy::DOUBLE
+                   - ((n * sxy - sx * sy)::DOUBLE
+                      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                  / (n::DOUBLE * 1e12), 6) + 0 END AS zipf_intercept,
+  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+        AND (n * syy - sy * sy)::DOUBLE > 0
+       THEN round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+                  / ((n * sxx - sx * sx)::DOUBLE
+                     * (n * syy - sy * sy)::DOUBLE), 6) END AS r2
+FROM mom
 """

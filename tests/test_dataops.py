@@ -1418,3 +1418,27 @@ def test_signal_correlations_matches_numpy_and_handles_degenerates(spark):
     )
     for r in ts.signal_correlations(const).collect():
         assert r["corr"] is None
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    import math
+
+    # plant an exact Zipf corpus: term w_r appears round(1000 / r) times
+    rows, did = [], 0
+    for r in range(1, 21):
+        for _ in range(round(1000 / r)):
+            rows.append((did, f"w{r:02d}"))
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ts.zipf_fit(docs, top_k=20).collect()[0]
+    assert out["n_terms"] == 20
+    # slope ~= -1 for 1/r frequencies (integer rounding bends it slightly)
+    assert -1.05 < out["zipf_slope"] < -0.95
+    assert out["r2"] > 0.99
+    # intercept ~= ln(1000)
+    assert abs(out["zipf_intercept"] - math.log(1000)) < 0.1
+    # degenerate: a single distinct term -> NULL fit, n_terms 1
+    one = spark.createDataFrame([(0, "x x x")], ["doc_id", "text"])
+    d = ts.zipf_fit(one).collect()[0]
+    assert d["n_terms"] == 1
+    assert d["zipf_slope"] is None and d["r2"] is None

@@ -141,6 +141,8 @@ SHOW = [
      "hash (2/(w+1) sample of grams) + doc-keyed size agg"),
     ("signal_correlations", "exact-moment Pearson: one row-local scan + "
      "one global partial agg; pair explosion on the 1-row aggregate"),
+    ("zipf_fit", "vocab agg -> TakeOrdered top-K head -> K-row window + "
+     "tiny moment agg; no global sort"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
