@@ -108,7 +108,6 @@ _DRIVER_WINDOW = [
     "tpch_customer_distribution",
     # (b) last driver-checked round 2, rotated back in (oldest evidence)
     "transcripts_roundtrip",
-    "format_detection",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
     # k-means + its two downstream curation queries
@@ -166,6 +165,10 @@ _DRIVER_WINDOW = [
     # in-window traffic_sliding / rolling windows) rotated out — round-5
     # must-include.
     "zipf_fit",
+    # (e) weekly retention cohorts over events; format_detection (r2
+    # evidence; sampling-vote mechanics unchanged since r2 and
+    # pytest-covered) rotated out — round-5 must-include.
+    "retention_cohorts",
 ]
 
 

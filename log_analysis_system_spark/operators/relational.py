@@ -523,3 +523,63 @@ def value_histogram(
             F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic weekly retention-cohort analysis: users grouped by the ISO
+    week of their FIRST event (the cohort), then for every later week the
+    share of the cohort still active — the product-analytics rollup every
+    event-stream warehouse ships (reference analog: the per-day activity
+    summaries of ``analyzer.py``'s daily report, generalized to
+    cohort × offset).
+
+    Conventions: NULL-``ts`` events can't be placed on the timeline and
+    NULL-``user_id`` events have no identity to retain — both excluded,
+    mirrored by the oracle (the :func:`sessionize` NULL policy). Weeks
+    are ``date_trunc('week')`` — ISO Monday start on both engines; the
+    offset is an exact integer day-diff / 7 (week starts align, so the
+    division is exact). ``week_offset = 0`` always exists (the cohort
+    week itself), so ``cohort_size`` comes from a window max over the
+    cohort partition, not a second join.
+
+    Output: ``(cohort_week, week_offset, n_active, cohort_size,
+    retention_rate)`` — one row per (cohort, offset) with activity.
+
+    Scale shape (100 TB): (user, week) distinct first — the ONLY stage
+    that sees event volume, map-side partial distinct on narrow keys;
+    the per-user min and the activity join then run on user×week rows
+    (bounded by users × horizon weeks); final agg is (cohort, offset)
+    cells with a cells-only window for the rate. No broadcast needed,
+    no skew risk beyond the user-key distinct (hot users collapse to one
+    row per week in the partial distinct).
+    """
+    week = F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date")
+    uw = (
+        events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", week.alias("week"))
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        uw.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(w)
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.round(F.col("n_active") / size, 6).alias("retention_rate"),
+    )

@@ -88,6 +88,13 @@ def q_value_percentiles_approx(spark, sf_dir):
     return rel.value_percentiles_approx(_events(spark, sf_dir))
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts (first-event week x activity offset)."""
+    return rel.retention_cohorts(_events(spark, sf_dir)).orderBy(
+        "cohort_week", "week_offset"
+    )
+
+
 QUERIES = {
     "sessionized_events": q_sessionized_events,
     "session_stats": q_session_stats,
@@ -101,6 +108,7 @@ QUERIES = {
     "funnel_stages": q_funnel_stages,
     "value_histogram": q_value_histogram,
     "value_percentiles_approx": q_value_percentiles_approx,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 _GAP = rel.SESSION_GAP_MINUTES
@@ -312,3 +320,32 @@ LEFT JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id
 """,
 }
+
+
+# Retention cohorts: NULL ts/user_id excluded (the sessionize policy);
+# ISO-Monday date_trunc weeks on both engines; exact day-diff/7 offsets;
+# cohort_size via the offset-0 window max (offset 0 always exists)
+ORACLES["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, uw.week) / 7 AS INT)
+           AS week_offset,
+         count(*)::BIGINT AS n_active
+  FROM uw JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       max(CASE WHEN week_offset = 0 THEN n_active END)
+         OVER (PARTITION BY cohort_week) AS cohort_size,
+       round(n_active::DOUBLE
+             / max(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week), 6) AS retention_rate
+FROM cells ORDER BY cohort_week, week_offset
+"""

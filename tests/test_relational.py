@@ -654,3 +654,39 @@ def test_mixture_resample_deterministic(spark):
     a = sorted(map(tuple, ts.mixture_resample(docs).collect()))
     b = sorted(map(tuple, ts.mixture_resample(docs).collect()))
     assert a == b
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from log_analysis_system_spark.operators import relational as rel
+
+    rows = [
+        # cohort A: week of Mon 2024-03-04 — users 1,2
+        (1, dt(2024, 3, 5), 1),    # u1 w0
+        (2, dt(2024, 3, 6), 2),    # u2 w0
+        (3, dt(2024, 3, 12), 1),   # u1 w1
+        (4, dt(2024, 3, 20), 1),   # u1 w2
+        (5, dt(2024, 3, 19), 2),   # u2 w2
+        # cohort B: week of Mon 2024-03-11 — user 3 only
+        (6, dt(2024, 3, 14), 3),   # u3 w0
+        (7, dt(2024, 3, 14), 3),   # same week dup: still one active row
+        # excluded rows: NULL ts / NULL user
+        (8, None, 1),
+        (9, dt(2024, 3, 5), None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in rel.retention_cohorts(ev).collect()
+    }
+    a, b = "2024-03-04", "2024-03-11"
+    assert set(out) == {(a, 0), (a, 1), (a, 2), (b, 0)}
+    assert out[(a, 0)]["n_active"] == 2 and out[(a, 0)]["cohort_size"] == 2
+    assert out[(a, 1)]["n_active"] == 1
+    assert out[(a, 1)]["retention_rate"] == 0.5
+    assert out[(a, 2)]["n_active"] == 2
+    assert out[(a, 2)]["retention_rate"] == 1.0
+    assert out[(b, 0)]["n_active"] == 1 and out[(b, 0)]["cohort_size"] == 1

@@ -143,6 +143,8 @@ SHOW = [
      "one global partial agg; pair explosion on the 1-row aggregate"),
     ("zipf_fit", "vocab agg -> TakeOrdered top-K head -> K-row window + "
      "tiny moment agg; no global sort"),
+    ("retention_cohorts", "(user,week) partial distinct is the only "
+     "event-volume stage; cells-only window for the rate"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
