@@ -106,8 +106,6 @@ _DRIVER_WINDOW = [
     "tpch_promo_revenue",
     "tpch_no_recent_orders",
     "tpch_customer_distribution",
-    # (b) last driver-checked round 2, rotated back in (oldest evidence)
-    "transcripts_roundtrip",
     # (c) NEW this round (round-4 operators, first driver rows):
     # span-level dedup, greedy token-budget sampling, deterministic
     # k-means + its two downstream curation queries
@@ -169,6 +167,12 @@ _DRIVER_WINDOW = [
     # evidence; sampling-vote mechanics unchanged since r2 and
     # pytest-covered) rotated out — round-5 must-include.
     "retention_cohorts",
+    # (e) EWMA spike detection (the applyInPandas sequential-state shape
+    # Spark windows can't express, recursive-CTE oracle, bit-exact
+    # cross-engine); transcripts_roundtrip (r2 evidence) rotated out —
+    # its per-turn byte-equality invariant is ALSO pytest-enforced every
+    # round (test_pipeline roundtrip assertions); round-5 must-include.
+    "ewma_traffic",
 ]
 
 

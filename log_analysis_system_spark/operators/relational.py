@@ -583,3 +583,77 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         size.alias("cohort_size"),
         F.round(F.col("n_active") / size, 6).alias("retention_rate"),
     )
+
+
+EWMA_ALPHA = 0.25  # exact binary fraction: the recursion is pure IEEE +/*
+EWMA_SPIKE_FACTOR = 2.0
+
+
+def ewma_traffic(
+    events: DataFrame,
+    alpha: float = EWMA_ALPHA,
+    spike_factor: float = EWMA_SPIKE_FACTOR,
+) -> DataFrame:
+    """EWMA-smoothed hourly traffic per event type with spike flags — the
+    classic sequential-state operator (s_t = α·x_t + (1−α)·s_{t−1},
+    pandas ``ewm(adjust=False)`` semantics) that Spark's window functions
+    CANNOT express (the recursion isn't a frame aggregate), implemented
+    as the brief's custom-stateful-operator pattern: ``applyInPandas``
+    over per-group ordered series.
+
+    A bucket is a spike when its count exceeds ``spike_factor`` × the
+    forecast (the EWMA of everything BEFORE it); the first bucket of a
+    group has no forecast and is never a spike.
+
+    Cross-engine determinism: the input counts are exact integers, α is
+    an exact binary fraction (0.25 by default), and the recursion is a
+    fixed-order chain of IEEE +/× — bit-identical in any engine that
+    evaluates the same recurrence (the DuckDB oracle uses a recursive
+    CTE), so only the OUTPUT is rounded (6 dp). NULL-``ts`` events are
+    excluded (the :func:`sessionize` policy); a NULL ``event_type`` is a
+    legitimate group on both engines.
+
+    Output: ``(event_type, hour, n_events, ewma, is_spike)``.
+
+    Scale shape (100 TB): the (event_type, hour) pre-aggregate is the
+    ONLY stage that sees event volume (map-side partial agg on narrow
+    keys); ``applyInPandas`` then runs on the few-cells-per-group series
+    — state is one double per group, series length is the time horizon,
+    not the row count. At many groups the stage parallelizes per group;
+    a single global series is inherently sequential (the recurrence's
+    data dependency), which is why the grouping key is part of the
+    operator contract.
+    """
+    import pandas as pd
+
+    hourly = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        s = None
+        ewma, spike = [], []
+        for x in pdf["n_events"]:
+            xf = float(x)
+            if s is None:
+                spike.append(False)
+                s = xf
+            else:
+                spike.append(xf > spike_factor * s)
+                s = alpha * xf + (1.0 - alpha) * s
+            ewma.append(round(s, 6))
+        pdf["ewma"] = ewma
+        pdf["is_spike"] = spike
+        return pdf
+
+    return hourly.groupBy("event_type").applyInPandas(
+        run,
+        "event_type string, hour timestamp, n_events bigint, "
+        "ewma double, is_spike boolean",
+    )

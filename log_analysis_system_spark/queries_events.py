@@ -95,6 +95,13 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+def q_ewma_traffic(spark, sf_dir):
+    """EWMA-smoothed hourly traffic + spike flags (applyInPandas state)."""
+    return rel.ewma_traffic(_events(spark, sf_dir)).orderBy(
+        "event_type", "hour"
+    )
+
+
 QUERIES = {
     "sessionized_events": q_sessionized_events,
     "session_stats": q_session_stats,
@@ -109,6 +116,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "value_percentiles_approx": q_value_percentiles_approx,
     "retention_cohorts": q_retention_cohorts,
+    "ewma_traffic": q_ewma_traffic,
 }
 
 _GAP = rel.SESSION_GAP_MINUTES
@@ -348,4 +356,36 @@ SELECT cohort_week, week_offset, n_active,
              / max(CASE WHEN week_offset = 0 THEN n_active END)
                OVER (PARTITION BY cohort_week), 6) AS retention_rate
 FROM cells ORDER BY cohort_week, week_offset
+"""
+
+
+# EWMA via recursive CTE: the same fixed-order IEEE recurrence the
+# applyInPandas operator runs (alpha 0.25 and 1-alpha 0.75 are exact
+# binary fractions; the state chain is bit-identical, only the output is
+# rounded — and the 4^-t value lattice provably never lands on a
+# round-half boundary at 6 dp)
+ORACLES["ewma_traffic"] = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM hourly
+),
+rec AS (
+  SELECT event_type, hour, n_events, rn,
+         n_events::DOUBLE AS s, FALSE AS is_spike
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.hour, n.n_events, n.rn,
+         0.25 * n.n_events::DOUBLE + 0.75 * r.s AS s,
+         n.n_events::DOUBLE > 2.0 * r.s AS is_spike
+  FROM numbered n
+  JOIN rec r ON r.rn = n.rn - 1
+            AND r.event_type IS NOT DISTINCT FROM n.event_type
+)
+SELECT event_type, hour, n_events, round(s, 6) AS ewma, is_spike
+FROM rec ORDER BY event_type, hour
 """

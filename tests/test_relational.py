@@ -690,3 +690,37 @@ def test_retention_cohorts_hand_computed(spark):
     assert out[(a, 2)]["n_active"] == 2
     assert out[(a, 2)]["retention_rate"] == 1.0
     assert out[(b, 0)]["n_active"] == 1 and out[(b, 0)]["cohort_size"] == 1
+
+
+def test_ewma_traffic_recurrence_and_spike(spark):
+    from datetime import datetime as dt
+
+    from log_analysis_system_spark.operators import relational as rel
+
+    rows = [
+        # 'a': counts 4, 4, 20 (spike: 20 > 2*4), then decay
+        *[(i, dt(2024, 1, 1, 0, i), "a") for i in range(4)],
+        *[(10 + i, dt(2024, 1, 1, 1, i), "a") for i in range(4)],
+        *[(20 + i, dt(2024, 1, 1, 2, i), "a") for i in range(20)],
+        (40, dt(2024, 1, 1, 3), "a"),
+        # NULL event_type is a legitimate group; NULL ts excluded
+        (41, dt(2024, 1, 1, 0), None),
+        (42, None, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["event_type"], r["hour"].hour): r
+        for r in rel.ewma_traffic(ev).collect()
+    }
+    a0, a1, a2, a3 = (out[("a", h)] for h in range(4))
+    assert (a0["n_events"], a0["ewma"], a0["is_spike"]) == (4, 4.0, False)
+    # s1 = .25*4 + .75*4 = 4; s2 = .25*20 + .75*4 = 8; 20 > 2*4 -> spike
+    assert (a1["ewma"], a1["is_spike"]) == (4.0, False)
+    assert (a2["ewma"], a2["is_spike"]) == (8.0, True)
+    # s3 = .25*1 + .75*8 = 6.25; 1 < 2*8 -> no spike
+    assert (a3["ewma"], a3["is_spike"]) == (6.25, False)
+    assert (None, 0) in out and out[(None, 0)]["n_events"] == 1
+    # the null-ts event contributed nowhere
+    assert sum(r["n_events"] for r in out.values()) == 30

@@ -145,6 +145,8 @@ SHOW = [
      "tiny moment agg; no global sort"),
     ("retention_cohorts", "(user,week) partial distinct is the only "
      "event-volume stage; cells-only window for the rate"),
+    ("ewma_traffic", "sequential-state EWMA: (type,hour) partial agg "
+     "feeds FlatMapGroupsInPandas on cells-per-group series"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
