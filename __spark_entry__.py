@@ -21,14 +21,16 @@ check for them; their VALUE evidence is the paired decidable-invariant
 wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
 (driver-green in round 3, exact+sketch compared in one frame).
 
-(b) 9 oracle-paired queries last driver-checked in round 2 whose
-logic is NOT subsumed by a fresher in-window query — so no oracle-paired
-entry's most recent driver row ever exceeds the 3-round full-coverage
-cycle that 129 queries over a 50-slot window arithmetically require
-(``tools/coverage_ledger.py`` asserts this; the round-2 entries left
-outside are the round-5 rotation's must-include list). The 29 round-2
-entries left outside are the ones whose semantics live inside fresher
-rows (status_counts/overall_response_stats/slow_endpoints/
+(b) oracle-paired queries last driver-checked in round 2 whose logic is
+NOT subsumed by a fresher in-window query — so no oracle-paired entry's
+most recent driver row ever exceeds the 3-round full-coverage cycle
+that 141 queries over a 50-slot window arithmetically require
+(``tools/coverage_ledger.py`` asserts this; every round-2 entry left or
+rotated back outside — including the nine that later-round (d)/(e)
+additions displaced, each with an inline rationale at its displacement
+comment — is a round-5 must-include). The round-2 entries left outside
+are the ones whose semantics live inside fresher rows
+(status_counts/overall_response_stats/slow_endpoints/
 overall_error_rate/error_endpoints within
 endpoint_stats+enriched_status_counts; traffic_hourly/peak_traffic/
 error_rate_5min within rolling_traffic_anomalies's input family;
@@ -57,12 +59,14 @@ the three oracle-less approximate operators (ann_lsh_bucketed, ann_ivf,
 dedup_embedding_lsh) whose value evidence is their round-3-green check
 wrappers.
 
-(c) the seventeen operators NEW in round 4 (span_dedup,
-token_budget_sample, kmeans_clusters, cluster_balanced_sample,
-cluster_purity, kmeans_inertia, semdedup, dsir_weights, gopher_rules,
-ccnet_buckets, token_kl_drift, corpus_shards, bpe_pair_counts,
-token_entropy, contrastive_pairs, split_leakage, dup_cluster_sizes) —
-first driver rows for each.
+(c)-(e) the TWENTY-SIX operators NEW in round 4 — the (c) batch
+(span_dedup .. dup_cluster_sizes), the (d) continuation (canonical
+selection, cross-source matrix, bigram LM), and the (e) session-3 batch
+(source cap, DSIR sampling, vocab growth, winnowing + overlap, signal
+correlations, Zipf fit, retention cohorts, EWMA spikes) — first driver
+rows for each; window slots for (d)/(e) came from rotating back out
+round-2 rows whose eviction rationale sits inline at each displacement
+comment below.
 
 The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
 out intact; every rotated-out query stays registered and is re-verified
