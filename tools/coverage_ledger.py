@@ -22,9 +22,12 @@ but exempt from the oracle-freshness assertion — their value evidence is
 the paired ``*_check`` invariant wrappers, which ARE oracle-paired and
 thus covered by the assertion.
 
-Usage: python tools/coverage_ledger.py [--round N] [--markdown]
-  --round N   the upcoming driver round (default: max recorded + 1)
-  --markdown  emit the full markdown table (default: summary + violations)
+Usage: python tools/coverage_ledger.py [--round N] [--markdown] [--next-plan]
+  --round N    the upcoming driver round (default: max recorded + 1)
+  --markdown   emit the full markdown table (default: summary + violations)
+  --next-plan  list the NEXT round's must-include queries: oracle-paired
+               entries that would hit the staleness bound if left outside
+               the window one more round (the rotation worklist)
 """
 
 from __future__ import annotations
@@ -145,6 +148,35 @@ def main(argv: list[str]) -> int:
     ledger = build_ledger(upcoming)
     if "--markdown" in argv:
         print(markdown_table(ledger))
+    if "--next-plan" in argv:
+        must = [
+            r["query"]
+            for r in ledger["rows"]
+            if r["oracle"]
+            and not r["in_window"]
+            and r["stale_by"] is not None
+            and r["stale_by"] + 1 > MAX_STALE_ROUNDS
+        ]
+        print(
+            f"round r{ledger['round'] + 1} must-include "
+            f"({len(must)} entries):"
+        )
+        for name in must:
+            print(f"  {name}")
+        rec = [
+            r["query"]
+            for r in ledger["rows"]
+            if r["oracle"]
+            and not r["in_window"]
+            and r["stale_by"] is not None
+            and r["stale_by"] + 1 == MAX_STALE_ROUNDS
+        ]
+        print(
+            f"recommended (AT the staleness bound next round, "
+            f"{len(rec)} entries):"
+        )
+        for name in rec:
+            print(f"  {name}")
     print(
         f"\nround r{ledger['round']}: {ledger['n_queries']} registered, "
         f"{ledger['n_in_window']} in window, "
