@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -389,4 +391,102 @@ def streaming_corpus_score(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_ewma_spikes(
+    stream: DataFrame,
+    alpha: float = 0.25,
+    spike_factor: float = 2.0,
+):
+    """Streaming analog of ``relational.ewma_traffic``: per-role hourly
+    turn counts EWMA-smoothed ACROSS micro-batches with
+    ``applyInPandasWithState`` — the sequential-state recurrence carried
+    in one double of state per role, so a spike alert fires inside the
+    micro-batch that contains it instead of on the next batch rerun.
+
+    Contract (documented, test-enforced): the feed delivers whole hour
+    buckets per trigger in event-time order (file-per-hour drops — the
+    shape ``maxFilesPerTrigger`` file sources and hourly Kafka compaction
+    jobs both produce). An hour split across triggers would be smoothed
+    as two buckets; the production hardening is a watermark + tumbling-
+    window pre-aggregation emitting FINALIZED windows into this operator
+    unchanged (the state update is identical).
+
+    State per role: (ewma, last_hour_us). Each batch buckets its rows by
+    hour (pandas-side, on already-grouped data), sorts, and continues the
+    recurrence from state; emits one row per processed bucket. Exactly
+    the batch operator's arithmetic (alpha an exact binary fraction, a
+    fixed-order IEEE chain), so a drained backlog reproduces
+    ``ewma_traffic`` bit-for-bit — asserted in
+    ``tests/test_streaming.py``.
+
+    Scale: state is 2 scalars per role; per-batch work is the (role,
+    hour) bucket count — the event volume never enters Python row-wise
+    (Arrow batches in, one groupby out).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("role", StringType()),
+            StructField("hour", TimestampType()),
+            StructField("n_turns", LongType()),
+            StructField("ewma", DoubleType()),
+            StructField("is_spike", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ewma", DoubleType()),
+            StructField("last_hour_us", LongType()),
+        ]
+    )
+    _NO_TS = -(1 << 62)
+
+    def update(key, pdfs, state: GroupState):
+        (role,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+            state.remove()
+            return
+        s, last_us = state.get if state.exists else (None, _NO_TS)
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            hrs = pdf["ts"].dt.floor("h")
+            for hour, n in hrs.value_counts().items():
+                us = int(hour.value // 1000)
+                counts[us] = counts.get(us, 0) + int(n)
+        if not counts:
+            return
+        out = {k: [] for k in ("role", "hour", "n_turns", "ewma", "is_spike")}
+        for us in sorted(counts):
+            x = float(counts[us])
+            if s is None:
+                spike = False
+                s = x
+            else:
+                spike = x > spike_factor * s
+                s = alpha * x + (1.0 - alpha) * s
+            out["role"].append(role)
+            out["hour"].append(pd.Timestamp(us * 1000))
+            out["n_turns"].append(counts[us])
+            out["ewma"].append(round(s, 6))
+            out["is_spike"].append(spike)
+            last_us = max(last_us, us)
+        state.update((s, last_us))
+        yield pd.DataFrame(out)
+
+    return (
+        stream.groupBy("role")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

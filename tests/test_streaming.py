@@ -205,3 +205,68 @@ def test_streaming_conversation_state_accumulates_across_batches(
         .collect()
     }
     assert got == expected and got
+
+
+def test_streaming_ewma_matches_batch_recurrence(spark, stream_dirs):
+    """Two availableNow drains split at the median hour: the EWMA state
+    must carry across the checkpoint restore, and the union of emitted
+    buckets must equal the batch recurrence run over all hours."""
+    from log_analysis_system_spark.streaming.stream_pipeline import (
+        streaming_ewma_spikes,
+    )
+
+    t = load_transcripts(spark, SF)
+    hours = sorted(
+        r["h"]
+        for r in t.select(
+            F.date_trunc("hour", "ts").alias("h")
+        ).distinct().collect()
+    )
+    assert len(hours) >= 4, hours
+    cut = hours[len(hours) // 2]
+    early = t.where(F.date_trunc("hour", "ts") < F.lit(cut))
+    late = t.where(F.date_trunc("hour", "ts") >= F.lit(cut))
+
+    def drain(df):
+        df.coalesce(1).write.mode("append").parquet(stream_dirs["in"])
+        q = (
+            streaming_ewma_spikes(
+                read_transcript_stream(spark, stream_dirs["in"], 10_000)
+            )
+            .writeStream.format("parquet")
+            .option("path", stream_dirs["out"])
+            .option("checkpointLocation", stream_dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+
+    drain(early)
+    drain(late)
+
+    got = {
+        (r["role"], r["hour"]): (r["n_turns"], r["ewma"], r["is_spike"])
+        for r in spark.read.parquet(stream_dirs["out"]).collect()
+    }
+    # batch reference: the same recurrence in pure python per role
+    counts = {}
+    for r in (
+        t.groupBy("role", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        counts.setdefault(r["role"], {})[r["hour"]] = r["n"]
+    expected = {}
+    for role, by_hour in counts.items():
+        s = None
+        for hour in sorted(by_hour):
+            x = float(by_hour[hour])
+            if s is None:
+                spike = False
+                s = x
+            else:
+                spike = x > 2.0 * s
+                s = 0.25 * x + 0.75 * s
+            expected[(role, hour)] = (by_hour[hour], round(s, 6), spike)
+    assert got == expected
