@@ -221,3 +221,61 @@ def test_winnowing_guarantee_and_density(spark, run, pre, suf):
         # first selection within the first window; gaps bounded by w
         assert pos[0] <= w
         assert all(nb - na <= w for na, nb in zip(pos, pos[1:]))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=14))
+def test_sampling_and_stats_invariants(spark, texts):
+    """Cross-operator invariants over ANY corpus: the source cap is
+    respected with exact pre-cap sizes; dsir_sample's kept set dominates
+    every unselected (key, -doc_id); vocab_growth conserves totals;
+    every signal correlation sits in [-1, 1] (or NULL on zero
+    variance)."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_system_spark.operators import datapipe as dp
+    from log_analysis_system_spark.operators import textstats as tsm
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 3}") for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    capped = dp.source_cap_sample(docs, cap=2).collect()
+    per_src: dict[str, int] = {}
+    for r in capped:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        assert r["keep_rank"] <= 2
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, kept in per_src.items():
+        assert kept == min(2, sizes[src])
+        got_size = {r["n_source_docs"] for r in capped if r["source"] == src}
+        assert got_size == {sizes[src]}
+
+    n_pick = max(1, len(texts) // 2)
+    full = dp.dsir_sample(docs, n=10**6).collect()
+    picked = dp.dsir_sample(docs, n=n_pick).collect()
+    assert len(picked) == min(n_pick, len(full))
+    sel = {r["doc_id"] for r in picked}
+    if len(full) > len(picked):
+        worst = min((r["es_key"], -r["doc_id"]) for r in picked)
+        best_out = max(
+            (r["es_key"], -r["doc_id"]) for r in full if r["doc_id"] not in sel
+        )
+        assert worst >= best_out
+
+    growth = sorted(
+        tsm.vocab_growth(docs, n_shards=4).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    all_tokens = sum(len(t.split(" ")) for t in texts)
+    vocab = len({w for t in texts for w in t.split(" ")})
+    assert growth[-1]["cum_tokens"] == all_tokens
+    assert growth[-1]["cum_vocab"] == vocab
+    assert sum(r["n_docs"] for r in growth) == len(texts)
+
+    for r in tsm.signal_correlations(docs).collect():
+        if r["corr"] is not None:
+            assert -1.0 - 1e-6 <= r["corr"] <= 1.0 + 1e-6
