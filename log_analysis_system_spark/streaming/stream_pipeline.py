@@ -14,6 +14,9 @@ users who tail a transcript feed instead of re-running batches:
   bucket-partition overwrite).
 - ``streaming_traffic_counts``: tumbling event-time window aggregation with
   a watermark for late turns (the streaming analog of A9/A16).
+- ``streaming_failure_tool_join``: stream-stream interval join (failures x
+  preceding tool invocations per conversation), watermark-bounded state on
+  both sides — the one streaming join topology the ops above don't cover.
 
 Alert throttling across micro-batches rides the same checkpointed
 alert-state table as the batch path (state.throttle_alerts inside
@@ -489,4 +492,99 @@ def streaming_ewma_spikes(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def failure_tool_pairs(turns: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a (possibly streaming) transcript frame into the two sides of
+    the failure<-tool correlation join. Row-local only (parse + filter), so
+    the same code builds both the streaming and the batch-oracle sides.
+
+    - failures: turns whose payload parses to an error log line or a 5xx
+      access line (the reference's alert conditions, SURVEY §2.6 O4/O5);
+    - tool invocations: turns carrying a non-null ``tool``.
+    """
+    parsed = parse_transcripts(turns)
+    fails = parsed.where(
+        (F.col("log_type") == "error") | (F.col("status") >= 500)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("fail_turn_idx"),
+        F.col("ts").alias("fail_ts"),
+        F.col("log_type").alias("fail_type"),
+        F.col("status").alias("fail_status"),
+    )
+    tools = turns.where(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("tool_conv_id"),
+        "tool",
+        F.col("turn_idx").alias("tool_turn_idx"),
+        F.col("ts").alias("tool_ts"),
+    )
+    return fails, tools
+
+
+def join_failures_to_tools(
+    fails: DataFrame, tools: DataFrame, lookback: str = "30 minutes"
+) -> DataFrame:
+    """The correlation join itself: every failure matched to the SAME
+    conversation's tool invocations in the ``lookback`` window ending at
+    the failure (which tool calls preceded this 5xx / error line?).
+
+    Works identically on static frames (the batch oracle) and on two
+    watermarked streams (see ``streaming_failure_tool_join``): the
+    condition is an equi-join on conv_id plus an event-time range, exactly
+    the shape Structured Streaming's stream-stream join requires to bound
+    its state.
+    """
+    return fails.join(
+        tools,
+        (F.col("conv_id") == F.col("tool_conv_id"))
+        & (F.col("tool_ts") <= F.col("fail_ts"))
+        & (F.col("tool_ts") >= F.col("fail_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select(
+        "conv_id",
+        "fail_turn_idx",
+        "fail_ts",
+        "fail_type",
+        "fail_status",
+        "tool",
+        "tool_turn_idx",
+        "tool_ts",
+    )
+
+
+def streaming_failure_tool_join(
+    stream: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the one streaming join topology the
+    other operators here don't cover (streaming_route's dim enrich is
+    stream-static; this is stream x stream with event-time bounds on both
+    sides).
+
+    Two filtered views of the one transcript feed — failures (error /
+    5xx turns, via the stream-safe row-local parse) and tool invocations —
+    are watermarked independently and inner-joined on conv_id plus a
+    bounded time range (``fail_ts - lookback <= tool_ts <= fail_ts``).
+
+    State bound (the reason the range condition is mandatory): each side
+    buffers only rows inside watermark + lookback of the stream's maximum
+    event time — per-key state is (turns-per-conv-per-horizon), not the
+    stream's history. Inner-join matches emit inside the micro-batch that
+    completes them; state for rows older than the combined horizon is
+    evicted at each trigger. A 10^12-turn feed holds state proportional to
+    the horizon's turn volume only.
+
+    Matches the batch ``join_failures_to_tools`` on the same input set-
+    exactly (asserted in tests/test_streaming.py): inner interval joins
+    have no emission dependence on watermark timing, only state-eviction
+    dependence, so a single availableNow drain reproduces the batch join.
+    """
+    fails, tools = failure_tool_pairs(stream)
+    return join_failures_to_tools(
+        fails.withWatermark("fail_ts", watermark),
+        tools.withWatermark("tool_ts", watermark),
+        lookback,
     )

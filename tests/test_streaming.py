@@ -270,3 +270,53 @@ def test_streaming_ewma_matches_batch_recurrence(spark, stream_dirs):
                 s = 0.25 * x + 0.75 * s
             expected[(role, hour)] = (by_hour[hour], round(s, 6), spike)
     assert got == expected
+
+
+def test_streaming_failure_tool_interval_join_matches_batch(spark, stream_dirs):
+    """Stream-stream interval join (failures x tool invocations within the
+    lookback, same conversation) must be row-set-identical to the batch
+    join on the same turns: inner interval joins emit on match, so a full
+    availableNow drain reproduces the batch result exactly. Fed in two
+    drops so at least one trigger boundary crosses the data."""
+    from log_analysis_system_spark.streaming.stream_pipeline import (
+        failure_tool_pairs,
+        join_failures_to_tools,
+        streaming_failure_tool_join,
+    )
+
+    t = load_transcripts(spark, SF)
+    half_a = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    half_a.write.mode("append").parquet(stream_dirs["in"])
+    half_b.write.mode("append").parquet(stream_dirs["in"])
+
+    stream = read_transcript_stream(
+        spark, stream_dirs["in"], max_files_per_trigger=2
+    )
+    joined = streaming_failure_tool_join(
+        stream, lookback="4 hours", watermark="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("fail_tool")
+        .outputMode("append")
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql("select * from fail_tool").collect()}
+
+    fails, tools = failure_tool_pairs(t)
+    expected = {
+        tuple(r)
+        for r in join_failures_to_tools(fails, tools, "4 hours").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    # every pair respects the interval contract
+    for r in spark.sql(
+        "select count(*) c from fail_tool where tool_ts > fail_ts "
+        "or tool_ts < fail_ts - interval 4 hours"
+    ).collect():
+        assert r.c == 0

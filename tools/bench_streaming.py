@@ -121,6 +121,33 @@ def main() -> None:
         ),
     )
 
+    # 4b) sequential-state EWMA spike detection (applyInPandasWithState,
+    # two scalars of state per role; session-4 addition to the bench)
+    timed(
+        "ewma_spikes",
+        lambda: drain(
+            sp.streaming_ewma_spikes(
+                sp.read_transcript_stream(spark, inp, max_files_per_trigger=16)
+            ),
+            "ewma",
+            output_mode="append",
+        ),
+    )
+
+    # 4c) stream-stream interval join: failures x tool invocations within
+    # the lookback, watermark-bounded state both sides (session-4 addition)
+    timed(
+        "failure_tool_join",
+        lambda: drain(
+            sp.streaming_failure_tool_join(
+                sp.read_transcript_stream(spark, inp, max_files_per_trigger=16),
+                lookback="4 hours",
+            ),
+            "failtool",
+            output_mode="append",
+        ),
+    )
+
     # 5) incremental LSH dedup drain over the sf0.1 document corpus
     # (round-4: the streaming<->batch conservation surface, benched at the
     # same scale its equality test runs — odd docs stream against the even
