@@ -395,13 +395,21 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     payloads; unchanged keys (the overwhelming majority) are filtered
     immediately after the join, so downstream operators see only the delta.
     """
-    o = old.select("doc_id", F.md5("text").alias("h_old"))
-    n = new.select("doc_id", F.md5("text").alias("h_new"))
+    # side-presence markers, NOT hash nullability: md5(NULL text) is NULL,
+    # so a null-payload row present on both sides must read "unchanged",
+    # not "added" — presence and content are independent signals here
+    o = old.select(
+        "doc_id", F.md5("text").alias("h_old"), F.lit(True).alias("in_old")
+    )
+    n = new.select(
+        "doc_id", F.md5("text").alias("h_new"), F.lit(True).alias("in_new")
+    )
     j = o.join(n, "doc_id", "full_outer")
     status = (
-        F.when(F.col("h_old").isNull(), F.lit("added"))
-        .when(F.col("h_new").isNull(), F.lit("removed"))
-        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        # null-safe: NULL->NULL is unchanged, NULL<->hash is changed
+        .when(~F.col("h_old").eqNullSafe(F.col("h_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
@@ -495,7 +503,11 @@ def token_budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
     Only (doc_id, source, n_tokens, pri) ever shuffles — 4 scalar
     columns, never text.
     """
-    sized = docs.select(
+    # null-text rows are excluded from budget selection (pinned contract:
+    # no measurable tokens -> no budget claim; without the filter Spark's
+    # NULLS FIRST vs DuckDB's NULLS LAST default sort order would also put
+    # the null-priority rows at opposite ends of the greedy scan)
+    sized = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         F.size(tokens(F.col("text"))).alias("n_tokens"),

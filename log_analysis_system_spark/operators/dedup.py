@@ -57,7 +57,12 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     map-side and stay O(1) per group, and the re-join streams the big side
     against one build row per hash (AQE skew-split covers pathological keys).
     """
-    hashed = docs.select(F.md5("text").alias("h"), "doc_id")
+    # null-text rows are not duplicate-comparable (md5(NULL) is NULL, and
+    # the null key would silently drop in the equi-join below anyway while
+    # a GROUP-BY-based oracle would pair them) — excluded by contract
+    hashed = docs.where(F.col("text").isNotNull()).select(
+        F.md5("text").alias("h"), "doc_id"
+    )
     groups = (
         hashed.groupBy("h")
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("c"))

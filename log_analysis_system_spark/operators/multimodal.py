@@ -88,7 +88,15 @@ def decode_image(payload: bytes) -> dict:
     """Feature-extract one payload. Binary Netpbm (P6 RGB / P5 gray) is
     decoded for real — header parse + per-channel pixel means; any other
     payload yields byte-level features with null image fields (the seam
-    for a full codec stack)."""
+    for a full codec stack). A NULL payload (missing blob — a real ingest
+    condition at corpus scale) yields an all-null feature row, matching
+    the SQL oracle's null propagation through octet_length/hex."""
+    if payload is None:
+        return {
+            "n_bytes": None, "first_byte": None, "last_byte": None,
+            "width": None, "height": None, "channels": None,
+            "mean_c0": None, "mean_c1": None, "mean_c2": None,
+        }
     payload = bytes(payload)
     out = {
         "n_bytes": len(payload),
@@ -233,6 +241,12 @@ def decode_audio(payload: bytes) -> dict:
     """
     import struct
 
+    if payload is None:  # missing blob -> all-null feature row (as image)
+        return {
+            "n_bytes": None, "first_byte": None, "last_byte": None,
+            "sample_rate": None, "n_samples": None, "duration_sec": None,
+            "mean_sample": None, "rms": None, "peak": None,
+        }
     payload = bytes(payload)
     out = {
         "n_bytes": len(payload),
@@ -386,6 +400,8 @@ def decode_video(payload: bytes, stride: int = VIDEO_FRAME_STRIDE) -> dict:
     Raises ValueError (typed contract) on malformed payloads."""
     import struct
 
+    if payload is None:
+        raise ValueError("null payload")  # typed, not a bytes(None) crash
     payload = bytes(payload)
     if len(payload) < 12 or payload[:4] != VIDEO_MAGIC:
         raise ValueError("not a VID0 payload")

@@ -609,7 +609,7 @@ ORACLES = {
 WITH g AS (
   SELECT md5(text) AS h, min(doc_id) AS canonical_id,
          list(doc_id) AS ids, count(*) AS c
-  FROM documents GROUP BY 1
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
 )
 SELECT canonical_id, dup_id FROM (
   SELECT canonical_id, unnest(ids) AS dup_id FROM g WHERE c > 1
@@ -1053,7 +1053,8 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             WHEN n.doc_id IS NULL THEN 'removed'
             ELSE 'changed' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h_old <> n.h_new
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.h_old IS DISTINCT FROM n.h_new
 ORDER BY doc_id
 """,
     "embedding_centroid_distance": f"""
@@ -1286,7 +1287,7 @@ WITH s AS (
   SELECT doc_id, source,
          len(string_split(text, ' '))::INT AS n_tokens,
          {DUCK_HASH60.format(x="text")} AS pri
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 c AS (
   SELECT doc_id, source, n_tokens,

@@ -108,6 +108,11 @@ def _docs_rows() -> list[tuple[int, str, str | None, str | None]]:
         (21, "hello world ", "en", "web"),          # trailing space
         (22, "hello\tworld together", "en", "web"),  # tab is NOT a split char
         (23, dup, None, "web"),                     # second NULL-lang dup
+        # NULL text (not comparable content): excluded from dedup
+        # candidacy and token budgeting by contract; snapshot_diff must
+        # classify presence from the join keys, not the NULL hash
+        (24, None, "en", "web"),
+        (25, None, None, None),                     # NULL everything
     ]
 
 
@@ -123,7 +128,8 @@ def hostile_dir(tmp_path_factory):
                 "lang": pa.array([r[2] for r in rows], pa.string()),
                 "source": pa.array([r[3] for r in rows], pa.string()),
                 "n_chars": pa.array(
-                    [len(r[1]) for r in rows], pa.int64()
+                    [None if r[1] is None else len(r[1]) for r in rows],
+                    pa.int64(),
                 ),
             }
         ),

@@ -25,7 +25,9 @@ def docs_df(spark, texts):
 def test_exact_duplicates(spark):
     df = docs_df(spark, ["a b c", "d e f", "a b c", "a b c", "g h i"])
     rows = dd.exact_duplicates(df).collect()
-    assert [(r.canonical_id, r.dup_id) for r in rows] == [(0, 2), (0, 3)]
+    # unsorted frame by design (presentation sort lives in the registry
+    # wrapper) -> compare as a set
+    assert {(r.canonical_id, r.dup_id) for r in rows} == {(0, 2), (0, 3)}
 
 
 def test_ngram_jaccard_finds_planted_near_dup(spark):
