@@ -83,6 +83,15 @@ DATA_HEADLINE = [
     # rank over scalar keys; term-keyed agg; sparse equi-join).
     "winnowing_fingerprints",
     "dsir_sample",
+    # round-4 session-4: two representatives of the 13-shape TPC-H
+    # completion (EXTRA_QUERIES, outside the driver registry — see
+    # tests/test_tpch_extra.py). waiting_suppliers is the heaviest new
+    # join topology (fact shuffle join + two staged re-aggregations +
+    # only-late filter); product_profit the widest broadcast star
+    # (part+supplier+nation broadcast into the fact scan, orderkey
+    # shuffle for the year).
+    "tpch_waiting_suppliers",
+    "tpch_product_profit",
 ]
 
 
@@ -159,8 +168,10 @@ def main() -> None:
         repeat = max(repeat, 3)
 
     import __spark_entry__ as entrymod
+    from log_analysis_system_spark.queries_tpch import EXTRA_QUERIES
 
-    registry = entrymod.queries()
+    # registry + the extra TPC-H suite (benchable, not driver-registered)
+    registry = {**entrymod.queries(), **EXTRA_QUERIES}
     names = [q for q in HEADLINE + DATA_HEADLINE if q in registry]
     if os.environ.get("BENCH_QUERIES"):
         names = [q.strip() for q in os.environ["BENCH_QUERIES"].split(",")]
