@@ -177,6 +177,19 @@ def main(argv: list[str]) -> int:
         )
         for name in rec:
             print(f"  {name}")
+        # non-registered suites waiting on a free slot (oracle-paired,
+        # pytest-gated; see tests/test_tpch_extra.py)
+        try:
+            from log_analysis_system_spark.queries_tpch import EXTRA_QUERIES
+
+            print(
+                f"registration candidates if slots remain "
+                f"({len(EXTRA_QUERIES)} extra TPC-H entries):"
+            )
+            for name in EXTRA_QUERIES:
+                print(f"  {name}")
+        except ImportError:
+            pass
     print(
         f"\nround r{ledger['round']}: {ledger['n_queries']} registered, "
         f"{ledger['n_in_window']} in window, "
