@@ -588,3 +588,74 @@ def streaming_failure_tool_join(
         tools.withWatermark("tool_ts", watermark),
         lookback,
     )
+
+
+def windowed_tool_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window invocation counts per tool —
+    append-mode-safe: a (window, tool) row emits exactly once, when the
+    watermark passes the window end. Works identically on a static frame
+    (the batch oracle side, minus the watermark)."""
+    return (
+        stream.where(F.col("tool").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "tool")
+        .agg(F.count("*").alias("n_invocations"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tool",
+            "n_invocations",
+        )
+    )
+
+
+def streaming_trending_tools(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+):
+    """Windowed TOP-K on a stream: per finalized event-time window, the k
+    most-invoked tools — the trending-dashboard shape (rank-within-window
+    is not expressible as a streaming aggregation, so the ranking runs
+    per micro-batch in ``foreachBatch`` over already-FINALIZED windows).
+
+    Correctness contract: in append mode a window's (window, tool) rows
+    all emit in the SAME micro-batch (the aggregation state for a window
+    flushes in one piece when the watermark crosses its end), so the
+    batch-local rank over ``partitionBy(window_start)`` sees every tool of
+    each emitted window — ranks equal the batch computation exactly
+    (asserted in tests/test_streaming.py). Ties break by tool name.
+
+    Scale: the windowed count state is |windows-in-horizon| x |tools| —
+    bounded; each foreachBatch ranks only the windows finalizing in that
+    trigger (K rows per window survive to the sink).
+    """
+    counts = windowed_tool_counts(stream, window, watermark)
+
+    def write_topk(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n_invocations"), "tool"
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    return (
+        counts.writeStream.foreachBatch(write_topk)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

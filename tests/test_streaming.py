@@ -320,3 +320,49 @@ def test_streaming_failure_tool_interval_join_matches_batch(spark, stream_dirs):
         "or tool_ts < fail_ts - interval 4 hours"
     ).collect():
         assert r.c == 0
+
+
+def test_streaming_trending_tools_topk_matches_batch(spark, stream_dirs):
+    """Per-window top-k tool ranks computed in foreachBatch over finalized
+    windows must equal the batch rank for every emitted window; windows
+    still open at the final watermark are legitimately withheld."""
+    from pyspark.sql import Window as W
+
+    from log_analysis_system_spark.streaming.stream_pipeline import (
+        streaming_trending_tools,
+        windowed_tool_counts,
+    )
+
+    t = load_transcripts(spark, SF)
+    half_a = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    half_a.write.mode("append").parquet(stream_dirs["in"])
+    half_b.write.mode("append").parquet(stream_dirs["in"])
+
+    q = streaming_trending_tools(
+        read_transcript_stream(spark, stream_dirs["in"], max_files_per_trigger=2),
+        stream_dirs["out"],
+        stream_dirs["ckpt"],
+        window="6 hours",
+        watermark="2 hours",
+        k=2,
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.window_start, r.tool, r.n_invocations, r.rank)
+        for r in spark.read.parquet(stream_dirs["out"]).collect()
+    }
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n_invocations"), "tool")
+    batch = {
+        (r.window_start, r.tool, r.n_invocations, r.rank)
+        for r in windowed_tool_counts(t, window="6 hours")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 2)
+        .collect()
+    }
+    assert got <= batch, "stream emitted a rank batch mode never produces"
+    # every fully-emitted window agrees exactly with the batch ranks
+    got_windows = {r[0] for r in got}
+    assert got and {b for b in batch if b[0] in got_windows} == got
+    assert len(got_windows) >= len({b[0] for b in batch}) // 2

@@ -148,6 +148,20 @@ def main() -> None:
         ),
     )
 
+    # 4d) windowed top-k trending tools (append-mode windowed counts +
+    # foreachBatch rank over finalized windows; session-4 addition)
+    topk_out = os.path.join(work, "topk_out")
+    t0 = time.perf_counter()
+    sp.streaming_trending_tools(
+        sp.read_transcript_stream(spark, inp, max_files_per_trigger=16),
+        topk_out,
+        os.path.join(work, "ckpt_topk"),
+    ).awaitTermination()
+    results["trending_tools"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "turns_per_sec": round(n_turns / (time.perf_counter() - t0), 1),
+    }
+
     # 5) incremental LSH dedup drain over the sf0.1 document corpus
     # (round-4: the streaming<->batch conservation surface, benched at the
     # same scale its equality test runs — odd docs stream against the even
