@@ -147,6 +147,14 @@ SHOW = [
      "event-volume stage; cells-only window for the rate"),
     ("ewma_traffic", "sequential-state EWMA: (type,hour) partial agg "
      "feeds FlatMapGroupsInPandas on cells-per-group series"),
+    # session-4 TPC-H completion representatives (EXTRA_QUERIES)
+    ("tpch_waiting_suppliers", "Q21 rewrite: ONE fact shuffle join "
+     "(finalized orders x lines) -> (order,supp) partial agg -> order "
+     "rollup -> only-late filter join of two order-bounded frames; "
+     "regional supplier dim broadcast last — no fact self-join"),
+    ("tpch_product_profit", "Q9 shape: part+supplier+nation broadcast "
+     "star into the fact scan; orderkey shuffle only for the year; "
+     "(nation, year) partial agg"),
 ]
 
 BAD = re.compile(r"CartesianProduct|BroadcastNestedLoopJoin")
@@ -158,7 +166,9 @@ def main() -> None:
 
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = e.queries()
+    from log_analysis_system_spark.queries_tpch import EXTRA_QUERIES
+
+    qs = {**e.queries(), **EXTRA_QUERIES}
     print("# PLANS — physical-plan evidence for the flagship queries")
     print()
     print("Generated by `python tools/dump_plans.py` (Spark "
