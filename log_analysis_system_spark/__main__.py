@@ -80,6 +80,21 @@ def load_input(spark, path: str):
     # (helpers.py:95-119 glob + main.py:113-145 per-line read)
     if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.log")):
         return read_log_dir(spark, path)
+    # JSONL transcript feed (agent-framework exports): schema-declared
+    # read, malformed lines and conv_id-less turns dropped here (the
+    # pipeline's own rejects sink covers unparseable PAYLOADS; a line that
+    # never became a turn has no bucket to land in)
+    if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.jsonl")):
+        from .sources.jsonl import read_transcripts_jsonl
+
+        turns, rejects = read_transcripts_jsonl(
+            spark, os.path.join(path, "*.jsonl")
+        )
+        n_rej = rejects.count()
+        if n_rej:
+            print(f"jsonl ingest: {n_rej} rejected lines "
+                  f"(malformed or missing conv_id)", file=sys.stderr)
+        return turns
     # single raw log file (reference dashboard.py --logfile) — sniff the
     # parquet magic so a .pq/.parq transcripts file isn't ingested as text
     if os.path.isfile(path) and not path.endswith(".parquet"):

@@ -1,0 +1,95 @@
+"""JSONL transcript front door: schema-declared read, corrupt-record and
+missing-conv_id routing to rejects, timestamp round-trip, and pipeline
+interop (the read side feeds run_pipeline unchanged)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.queries_log import load_transcripts
+from log_analysis_system_spark.sources.jsonl import (
+    read_transcripts_jsonl,
+    write_transcripts_jsonl,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jsonl_roundtrip_byte_exact(spark, tmp_path):
+    """write -> read reproduces every turn, ts included (microseconds)."""
+    t = load_transcripts(spark, SF)
+    p = str(tmp_path / "turns_jsonl")
+    write_transcripts_jsonl(t, p)
+    turns, rejects = read_transcripts_jsonl(spark, p)
+    assert rejects.count() == 0
+    orig = {tuple(r) for r in t.collect()}
+    back = {tuple(r) for r in turns.collect()}
+    assert back == orig
+
+
+def test_jsonl_malformed_and_missing_conv_route_to_rejects(spark, tmp_path):
+    p = tmp_path / "feed"
+    p.mkdir()
+    good = (
+        '{"conv_id": "c-1", "turn_idx": 0, "role": "user", '
+        '"text": "hi", "tool": null, "ts": "2024-01-01T00:00:00.000001"}'
+    )
+    bad_json = '{"conv_id": "c-1", "turn_idx": 1, BROKEN'
+    no_conv = (
+        '{"turn_idx": 2, "role": "tool", "text": "x", '
+        '"tool": "bash", "ts": "2024-01-01T00:00:02"}'
+    )
+    bad_ts = (
+        '{"conv_id": "c-1", "turn_idx": 3, "role": "user", '
+        '"text": "late", "tool": null, "ts": "not-a-time"}'
+    )
+    (p / "part.jsonl").write_text(
+        "\n".join([good, bad_json, no_conv, bad_ts]) + "\n"
+    )
+    turns, rejects = read_transcripts_jsonl(spark, str(p))
+
+    got = {(r.conv_id, r.turn_idx, r.ts is not None) for r in turns.collect()}
+    # good row keeps its ts; bad-ts row survives with NULL ts (zero-default
+    # coercion policy: malformed VALUES null out, malformed LINES reject)
+    assert got == {("c-1", 0, True), ("c-1", 3, False)}
+
+    reasons = sorted((r.reason, r.raw is not None) for r in rejects.collect())
+    assert reasons == [("malformed_json", True), ("missing_conv_id", True)]
+
+
+def test_jsonl_feed_runs_the_pipeline(spark, tmp_path):
+    """The JSONL front door feeds run_pipeline unchanged — same sink totals
+    as the parquet path on the same turns."""
+    from log_analysis_system_spark.pipeline import run_pipeline
+
+    t = load_transcripts(spark, SF)
+    feed = str(tmp_path / "feed_jsonl")
+    write_transcripts_jsonl(t, feed)
+    turns, _ = read_transcripts_jsonl(spark, feed)
+
+    out = str(tmp_path / "out")
+    res = run_pipeline(spark, turns, out, run_id="jsonl-1", resume=False)
+    n_sinks = spark.read.parquet(f"{out}/parsed_turns").count()
+    assert res.sink_counts["parsed_turns"] == n_sinks > 0
+
+
+def test_cli_load_input_detects_jsonl_dir(spark, tmp_path):
+    from log_analysis_system_spark.__main__ import load_input
+
+    t = load_transcripts(spark, SF).limit(50)
+    feed = tmp_path / "feed"
+    write_transcripts_jsonl(t, str(feed / "drop1"))
+    # Spark's json writer names parts part-*.json; give the dir a .jsonl
+    # marker file the detector globs for, pointing at the real parts
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(str(feed / "drop1" / "part-*.json"))):
+        shutil.copy(f, str(feed / f"drop{i}.jsonl"))
+    shutil.rmtree(str(feed / "drop1"))
+    turns = load_input(spark, str(feed))
+    assert turns.count() == 50
