@@ -110,21 +110,32 @@ def _scaling_summary() -> dict | None:
     takes the min-wall trial per core level, and reports throughput at
     both levels plus the N->4N efficiency the north rule gates on.
     """
-    log = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tools", "scaling_trials_r4_pinned.jsonl",
-    )
+    # Newest generation first: trials are only paired WITHIN one log file
+    # (one code state + one input generation) — min-wall across mixed
+    # generations would pair a fast-code large level with a slow-code
+    # small level and misstate the efficiency.
+    here = os.path.dirname(os.path.abspath(__file__))
+    logs = [
+        os.path.join(here, "tools", "scaling_trials_r4s4_pinned.jsonl"),
+        os.path.join(here, "tools", "scaling_trials_r4_pinned.jsonl"),
+    ]
     try:
         best: dict[int, dict] = {}
-        with open(log) as fh:
-            for line in fh:
-                rec = json.loads(line)
-                t = rec.get("trial")
-                if not t or not rec.get("probe", {}).get("clean"):
-                    continue
-                c = t["cores"]
-                if c not in best or t["wall_s"] < best[c]["wall_s"]:
-                    best[c] = t
+        for log in logs:
+            if not os.path.exists(log):
+                continue
+            best = {}
+            with open(log) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    t = rec.get("trial")
+                    if not t or not rec.get("probe", {}).get("clean"):
+                        continue
+                    c = t["cores"]
+                    if c not in best or t["wall_s"] < best[c]["wall_s"]:
+                        best[c] = t
+            if len(best) >= 2:
+                break
         if len(best) < 2:
             return None
         lo, hi = min(best), max(best)
@@ -132,7 +143,7 @@ def _scaling_summary() -> dict | None:
         eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / ratio
         return {
             "protocol": "cpu-pinned (taskset) probe-gated min-wall trials; "
-                        "log tools/scaling_trials_r4_pinned.jsonl",
+                        f"log tools/{os.path.basename(log)}",
             "input_turns": best[hi]["turns"],
             "cores_small": lo,
             "cores_large": hi,
