@@ -8,69 +8,32 @@ reference's ``database.py:322-363`` / ``performance.py:60-74`` semantics).
 SURVEY.md §2 with a DuckDB oracle over the shared parquet views.
 
 Registry ordering is deliberate: the driver's correctness gate checks the
-FIRST 50 entries in iteration order. Round-4 rotation (VERDICT.md next-round
-item #1): ``_DRIVER_WINDOW`` front-loads
+FIRST 50 entries in iteration order. Round-5 rotation (VERDICT.md r4
+next-round items #1-#2): ``_DRIVER_WINDOW`` front-loads
 
-(a) ALL 21 queries that had never received a driver correctness row in
-rounds 1-3 (they waited outside the 50-entry window) — after this round,
-every registered query has had a driver row in some round. Two of them
-(``approx_distinct_daily``, ``value_percentiles_approx``) are genuinely
-approximate (HLL / approx quantile sketches differ across engines by
-design) and carry no oracle, so the driver records the weaker rows-only
-check for them; their VALUE evidence is the paired decidable-invariant
-wrappers ``approx_distinct_check`` / ``percentiles_approx_check``
-(driver-green in round 3, exact+sketch compared in one frame).
+(a) the 38 staleness-bound must-includes — every oracle-paired query whose
+most recent driver row is round 2. ``tools/coverage_ledger.py --next-plan``
+emitted exactly this list; left outside the r5 window their staleness
+would reach 4 rounds at the post-r5 ledger read, past the 3-round bound
+that 153 registered queries over a 50-slot window arithmetically allow.
 
-(b) oracle-paired queries last driver-checked in round 2 whose logic is
-NOT subsumed by a fresher in-window query — so no oracle-paired entry's
-most recent driver row ever exceeds the 3-round full-coverage cycle
-that 141 queries over a 50-slot window arithmetically require
-(``tools/coverage_ledger.py`` asserts this; every round-2 entry left or
-rotated back outside — including the nine that later-round (d)/(e)
-additions displaced, each with an inline rationale at its displacement
-comment — is a round-5 must-include). The round-2 entries left outside
-are the ones whose semantics live inside fresher rows
-(status_counts/overall_response_stats/slow_endpoints/
-overall_error_rate/error_endpoints within
-endpoint_stats+enriched_status_counts; traffic_hourly/peak_traffic/
-error_rate_5min within rolling_traffic_anomalies's input family;
-daily_summary within approx_distinct_check's exact side;
-timeframe_logs/error_timeframe_logs (S10) within
-endpoint_stats_timeframe's (S11) timeframe predicate;
-enriched_role_counts within enriched_status_counts; zscore_anomalies
-within per_conv_zscore's z-score mechanics; ann_topk_cosine_np within
-ann_topk_cosine, whose output contract it shares row-for-row;
-parsed_turns_pandas within parsed_turns's dual-engine parse,
-turn_ordering_check within turn_gaps's per-conversation ordering,
-ann_ivf_fullprobe within ann_ivf_check's recall invariant;
-turns_per_conversation within conv_skew_profile's per-conversation
-counts, turn_gaps within role_transitions' lag window,
-salted_turn_counts within salted_dim_join's salting pattern,
-dedup_exact within dedup_incremental's md5-group mechanics,
-dedup_ngram_jaccard within dedup_minhash_lsh, whose oracle IS the
-exact all-pairs n-gram-Jaccard SQL; unusual_methods within
-endpoint_method_rollup's two-key grouping; dedup_embedding_cosine
-within dedup_embedding_lsh_check's exact side and semdedup /
-contrastive_pairs' shared cosine contract; dedup_components within
-dup_cluster_sizes, whose oracle re-derives the full recursive component
-computation; ann_topk_cosine within ann_lsh_check / ann_ivf_check's
-exact-baseline side) — plus
-the three oracle-less approximate operators (ann_lsh_bucketed, ann_ivf,
-dedup_embedding_lsh) whose value evidence is their round-3-green check
-wrappers.
+(b) the 12 TPC-H completion shapes promoted into the registry this round
+(``queries_tpch.PROMOTED`` — Q2, Q7-Q11, Q15-Q17, Q19-Q21), taking their
+first driver rows. They fill the remaining 12 slots exactly; the 13th
+completion shape, ``tpch_shipping_delays`` (Q12), stays pytest-gated in
+``queries_tpch.EXTRA_QUERIES`` (rationale at the promotion block there:
+the never-covered rule forbids registering without a slot, and Q12's
+conditional-aggregation family already has driver-green representatives).
 
-(c)-(e) the TWENTY-SIX operators NEW in round 4 — the (c) batch
-(span_dedup .. dup_cluster_sizes), the (d) continuation (canonical
-selection, cross-source matrix, bigram LM), and the (e) session-3 batch
-(source cap, DSIR sampling, vocab growth, winnowing + overlap, signal
-correlations, Zipf fit, retention cohorts, EWMA spikes) — first driver
-rows for each; window slots for (d)/(e) came from rotating back out
-round-2 rows whose eviction rationale sits inline at each displacement
-comment below.
-
-The round-3 window (50 rows, all green in CORRECTNESS_r03.json) rotates
-out intact; every rotated-out query stays registered and is re-verified
-by the local replica gate + pytest each round.
+Rotated OUT relative to round 4: the full r4 window (all green in
+CORRECTNESS_r04.json, staleness 1) including — per VERDICT r4
+"What's wrong" #1 — the two permanently-``no_oracle`` sketch queries
+``approx_distinct_daily`` / ``value_percentiles_approx``, which can never
+produce a green hash row; their value evidence is the r3-green
+oracle-paired check wrappers ``approx_distinct_check`` /
+``percentiles_approx_check`` (exact+sketch compared in one frame).
+Every rotated-out query stays registered and is re-verified by the local
+replica gate (``tools/check_correctness.py``) + pytest each round.
 """
 
 from __future__ import annotations
@@ -84,99 +47,75 @@ from log_analysis_system_spark.queries_log import QUERIES as _LOG_QUERIES
 
 # First 50 = the driver's correctness window (see module docstring).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked in rounds 1-3 — log/transcript queries
-    "role_transitions",
-    "salted_dim_join",
-    "traffic_status_pivot",
-    "ip_overlap_sets",
-    "traffic_sliding",
-    "conversation_context",
-    "funnel_stages",
-    "value_histogram",
-    # (a) never driver-checked — data-pipeline queries
-    "embedding_quantization",
-    "multimodal_features",
-    "multimodal_audio_features",
-    "multimodal_video_features",
-    "doc_chunks",
-    "temperature_mixture",
-    "mixture_resample",
-    # (a) never driver-checked — approximate, no oracle by design (rows-only
-    # driver rows; value evidence = the r3-green check wrappers)
-    "approx_distinct_daily",
-    "value_percentiles_approx",
-    # (a) never driver-checked — TPC-H
-    "tpch_large_volume_customers",
-    "tpch_promo_revenue",
-    "tpch_no_recent_orders",
-    "tpch_customer_distribution",
-    # (c) NEW this round (round-4 operators, first driver rows):
-    # span-level dedup, greedy token-budget sampling, deterministic
-    # k-means + its two downstream curation queries
-    "span_dedup",
-    "token_budget_sample",
-    "kmeans_clusters",
-    "cluster_balanced_sample",
-    "cluster_purity",
-    "kmeans_inertia",
-    "semdedup",
-    "dsir_weights",
-    "gopher_rules",
-    "ccnet_buckets",
-    "token_kl_drift",
-    "corpus_shards",
-    "bpe_pair_counts",
-    "token_entropy",
-    "contrastive_pairs",
-    "split_leakage",
-    "dup_cluster_sizes",
-    # (d) round-4 continuation operators (first driver rows): canonical
-    # keep-selection, cross-source dup matrix, bigram-LM fluency. Three
-    # (b)-group round-2 rows (per_conv_zscore, pii_redaction,
-    # enriched_status_counts) rotated back out to make room — their r2
-    # evidence is 2 rounds old at r4 (within the 3-round staleness bound);
-    # they are round-5 must-includes.
-    "dup_canonical_docs",
-    "cross_source_dup_rates",
-    "lm_bigram_score",
-    # (e) round-4 late additions (first driver rows): per-source frequency
-    # cap, DSIR E-S resampling, Heaps-law vocab growth, robust winnowing.
-    # Four (b)-group round-2 rows (performance_metrics,
-    # endpoint_stats_timeframe, brute_force, suspicious_ips) rotated back
-    # out to make room — each is semantically inside an r3-green row
-    # (endpoint_stats' agg family; security_events' detector union /
-    # ip_threat_scores' weighting) and their r2 evidence is 2 rounds old
-    # at r4, within the 3-round staleness bound; round-5 must-includes.
-    "source_cap_sample",
-    "dsir_sample",
-    "vocab_growth",
-    "winnowing_fingerprints",
-    # (e) the winnowing-powered MOSS overlap report; dedup_simhash (r2
-    # evidence, banded-Hamming mechanics also judge-verified at HEAD)
-    # rotated out — near-dup-family driver evidence stays in-window via
-    # the three verified-pair-stream queries (dup_cluster_sizes,
-    # dup_canonical_docs, cross_source_dup_rates).
-    "winnow_overlap",
-    # (e) exact-moment Pearson signal matrix; tool_invocations (r2
-    # evidence; its per-tool count agg is the same single-shuffle partial
-    # agg family as conversation_alert_rates, still in-window) rotated
-    # out — round-5 must-include.
-    "signal_correlations",
-    # (e) Zipf-slope fit over the vocab head; conversation_alert_rates
-    # (r2 evidence; windowed per-conv rate agg, same family as the
-    # in-window traffic_sliding / rolling windows) rotated out — round-5
-    # must-include.
-    "zipf_fit",
-    # (e) weekly retention cohorts over events; format_detection (r2
-    # evidence; sampling-vote mechanics unchanged since r2 and
-    # pytest-covered) rotated out — round-5 must-include.
-    "retention_cohorts",
-    # (e) EWMA spike detection (the applyInPandas sequential-state shape
-    # Spark windows can't express, recursive-CTE oracle, bit-exact
-    # cross-engine); transcripts_roundtrip (r2 evidence) rotated out —
-    # its per-turn byte-equality invariant is ALSO pytest-enforced every
-    # round (test_pipeline roundtrip assertions); round-5 must-include.
-    "ewma_traffic",
+    # (a) the 38 staleness-bound must-includes: every oracle-paired query
+    # whose most recent driver row is r2 (tools/coverage_ledger.py
+    # --next-plan emitted exactly this list) — outside the r5 window their
+    # staleness would reach 4 rounds at the post-r5 ledger read, past the
+    # 3-round bound. Grouped by family.
+    #   transcript front door + parse
+    "transcripts_roundtrip",
+    "parsed_turns_pandas",
+    "format_detection",
+    #   performance aggregates (A1-A10, A15-A16, S10-S11)
+    "status_counts",
+    "overall_response_stats",
+    "slow_endpoints",
+    "performance_metrics",
+    "overall_error_rate",
+    "error_endpoints",
+    "traffic_hourly",
+    "peak_traffic",
+    "error_rate_5min",
+    "timeframe_logs",
+    "error_timeframe_logs",
+    "endpoint_stats_timeframe",
+    "daily_summary",
+    #   security detectors (J1-J4, A11-A13)
+    "brute_force",
+    "suspicious_ips",
+    "unusual_methods",
+    #   anomaly (W1)
+    "zscore_anomalies",
+    "per_conv_zscore",
+    #   transcript windows / skew / enrichment
+    "turns_per_conversation",
+    "tool_invocations",
+    "turn_gaps",
+    "turn_ordering_check",
+    "conversation_alert_rates",
+    "salted_turn_counts",
+    "pii_redaction",
+    "enriched_status_counts",
+    "enriched_role_counts",
+    #   dedup + ANN exact baselines
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "ann_topk_cosine",
+    "ann_topk_cosine_np",
+    "ann_ivf_fullprobe",
+    # (b) the 12 TPC-H completion shapes promoted into the registry this
+    # round (queries_tpch.PROMOTED; VERDICT r4 item #1) — first driver
+    # rows. They fill the 12 free slots exactly; tpch_shipping_delays
+    # (Q12) stays pytest-gated in EXTRA_QUERIES (rationale at the
+    # promotion block in queries_tpch.py). The two permanently-no_oracle
+    # sketch queries (approx_distinct_daily, value_percentiles_approx)
+    # rotate OUT per VERDICT item "What's wrong" #1 — their value
+    # evidence remains the r3-green oracle-paired check wrappers.
+    "tpch_volume_shipping",
+    "tpch_market_share",
+    "tpch_product_profit",
+    "tpch_returned_items",
+    "tpch_important_parts",
+    "tpch_top_supplier",
+    "tpch_parts_suppliers",
+    "tpch_small_qty_revenue",
+    "tpch_discounted_revenue",
+    "tpch_min_cost_supplier",
+    "tpch_dominant_suppliers",
+    "tpch_waiting_suppliers",
 ]
 
 

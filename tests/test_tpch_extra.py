@@ -1,12 +1,14 @@
 """The 13 TPC-H query shapes completing the 22-shape suite (Q2, Q7-Q12,
-Q15-Q17, Q19-Q21), shipped as queries_tpch.EXTRA_* because the driver's
-50-slot correctness window is saturated this round (test_registry forbids
-registering a query that would strand a never-checked one). This gate is
-their cross-engine evidence: exact value compare vs DuckDB (the same
-compare the driver runs) at the scale factor where each query has a
-non-degenerate result, plus the same plan hygiene the registered set gets
-(no CartesianProduct; BroadcastNestedLoopJoin only for deliberate 1-row
-scalar-threshold broadcasts). Round-5 rotation candidates.
+Q15-Q17, Q19-Q21), defined in queries_tpch.EXTRA_*. Since round 5, 12 of
+them are ALSO promoted into the driver registry (queries_tpch.PROMOTED)
+and occupy driver-window slots; tpch_shipping_delays (Q12) remains
+pytest-only (rationale at the promotion block in queries_tpch.py). This
+gate stays parametrized over the full EXTRA set so all 13 keep
+cross-engine evidence regardless of window rotation: exact value compare
+vs DuckDB (the same compare the driver runs) at the scale factor where
+each query has a non-degenerate result, plus the same plan hygiene the
+registered set gets (no CartesianProduct; BroadcastNestedLoopJoin only
+for deliberate 1-row scalar-threshold broadcasts).
 """
 
 from __future__ import annotations
@@ -72,10 +74,15 @@ def _oracle_rows(sf_dir: str, sql: str):
 
 
 def test_all_22_tpch_shapes_present():
-    from log_analysis_system_spark.queries_tpch import QUERIES
+    from log_analysis_system_spark.queries_tpch import PROMOTED, QUERIES
 
-    assert len(QUERIES) + len(EXTRA_QUERIES) == 22
-    assert not set(QUERIES) & set(EXTRA_QUERIES)
+    # 22 distinct shapes total; the promoted 12 live in BOTH dicts (same
+    # callables), only Q12 is EXTRA-exclusive
+    assert len(set(QUERIES) | set(EXTRA_QUERIES)) == 22
+    assert set(QUERIES) & set(EXTRA_QUERIES) == set(PROMOTED)
+    assert set(EXTRA_QUERIES) - set(QUERIES) == {"tpch_shipping_delays"}
+    for n in PROMOTED:
+        assert QUERIES[n] is EXTRA_QUERIES[n]
 
 
 @pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
