@@ -135,12 +135,35 @@ def _scaling_summary() -> dict | None:
                     t = rec.get("trial")
                     if not t or not rec.get("probe", {}).get("clean"):
                         continue
-                    c = t["cores"]
+                    # min-wall is only meaningful among trials of the SAME
+                    # input size, so the key carries turns; a future log
+                    # with a different turn count can then never be
+                    # min-wall-merged against these (this was a
+                    # comment-only guard before)
+                    c = (t["cores"], t["turns"])
                     if c not in best or t["wall_s"] < best[c]["wall_s"]:
                         best[c] = t
-        if len(best) < 2:
+        # pair the two core levels at the largest input size measured at
+        # BOTH levels; no common size -> no pairable experiment
+        sizes = {n for _, n in best}
+        pairable = [
+            n for n in sizes
+            if len({c for c, n2 in best if n2 == n}) >= 2
+        ]
+        if not pairable:
+            if len({c for c, _ in best}) >= 2:
+                print(
+                    "scaling: trial logs have two core levels but no "
+                    "common input size — refusing to pair mismatched "
+                    f"inputs (sizes per level: "
+                    f"{sorted(best)})",
+                    file=sys.stderr,
+                )
             return None
-        lo, hi = min(best), max(best)
+        n_turns = max(pairable)
+        levels = sorted(c for c, n in best if n == n_turns)
+        lo, hi = levels[0], levels[-1]
+        best = {c: best[(c, n_turns)] for c in (lo, hi)}
         ratio = hi / lo
         eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / ratio
         return {

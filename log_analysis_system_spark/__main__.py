@@ -65,7 +65,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_input(spark, path: str):
+def load_input(spark, path: str, output_dir: str | None = None):
     import glob as globmod
 
     from .sources.events_transcripts import render_transcripts
@@ -81,19 +81,34 @@ def load_input(spark, path: str):
     if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.log")):
         return read_log_dir(spark, path)
     # JSONL transcript feed (agent-framework exports): schema-declared
-    # read, malformed lines and conv_id-less turns dropped here (the
-    # pipeline's own rejects sink covers unparseable PAYLOADS; a line that
-    # never became a turn has no bucket to land in)
-    if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.jsonl")):
+    # read; malformed lines and conv_id-less turns go to an ingest-level
+    # rejects sink beside the pipeline's own (which covers unparseable
+    # PAYLOADS; a line that never became a turn has no bucket to land in).
+    # Glob covers *.jsonl AND *.json — write_transcripts_jsonl round-trips
+    # through Spark's json sink, whose parts are named part-*.json; the
+    # repo's own sink output must pass its own front door.
+    jsonl_parts = [
+        p
+        for pat in ("*.jsonl", "*.json")
+        for p in globmod.glob(os.path.join(path, pat))
+    ]
+    if os.path.isdir(path) and jsonl_parts:
         from .sources.jsonl import read_transcripts_jsonl
 
         turns, rejects = read_transcripts_jsonl(
-            spark, os.path.join(path, "*.jsonl")
+            spark, sorted(jsonl_parts)
         )
-        n_rej = rejects.count()
-        if n_rej:
-            print(f"jsonl ingest: {n_rej} rejected lines "
-                  f"(malformed or missing conv_id)", file=sys.stderr)
+        if output_dir:
+            # one write job, no eager pre-count (a rejects.count() here
+            # would be a second full scan of the feed); the row count
+            # afterwards reads only parquet footers
+            rej_dir = os.path.join(output_dir, "rejects_jsonl")
+            rejects.write.mode("overwrite").parquet(rej_dir)
+            n_rej = spark.read.parquet(rej_dir).count()
+            if n_rej:
+                print(f"jsonl ingest: {n_rej} rejected lines "
+                      f"(malformed or missing conv_id) -> {rej_dir}",
+                      file=sys.stderr)
         return turns
     # single raw log file (reference dashboard.py --logfile) — sniff the
     # parquet magic so a .pq/.parq transcripts file isn't ingested as text
@@ -171,7 +186,11 @@ def main(argv: list[str] | None = None) -> int:
                 "sink_counts": cres.sink_counts,
             }))
             return 0
-        transcripts = None if args.analyze_only else load_input(spark, args.input)
+        transcripts = (
+            None
+            if args.analyze_only
+            else load_input(spark, args.input, output_dir=args.output)
+        )
         result = run_pipeline(
             spark,
             transcripts,

@@ -264,6 +264,19 @@ def _aggregate_stage(
     n_buckets: int,
     cfg: RuntimeConfig = DEFAULT_CONFIG,
 ) -> None:
+    # A route stage whose every row was rejected writes zero parsed_turns
+    # rows — and a bucket-partitioned write of an empty frame emits no
+    # schema-bearing part files at all, so the sink dir is unreadable.
+    # Nothing to aggregate: record the stage as done with zero counts
+    # instead of crashing the run.
+    if not catalog.table_exists(spark, output_dir, "parsed_turns"):
+        st.append_state(
+            spark,
+            output_dir,
+            [(run_id, "aggregate", -1, 0, "done", 0)],
+        )
+        return
+
     with st.StageTimer() as t:
         parsed = catalog.read_table(spark, output_dir, "parsed_turns")
         parsed.persist(StorageLevel.MEMORY_AND_DISK)

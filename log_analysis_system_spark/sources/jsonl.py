@@ -54,9 +54,12 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"
 
 
 def read_transcripts_jsonl(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str | list[str]
 ) -> tuple[DataFrame, DataFrame]:
-    """Read a JSONL transcript feed; returns ``(turns, rejects)``.
+    """Read a JSONL transcript feed (one glob/path or a list of them —
+    ``load_input`` passes the union of ``*.jsonl`` and ``*.json`` parts so
+    :func:`write_transcripts_jsonl` output ingests directly); returns
+    ``(turns, rejects)``.
 
     ``turns`` carries the transcripts contract with ``ts`` parsed
     (timestamp_ntz to match the parquet tables); ``rejects`` carries

@@ -613,6 +613,27 @@ def windowed_tool_counts(
     )
 
 
+def _write_topk_batch(
+    batch_df: DataFrame, batch_id: int, output_dir: str, k: int
+) -> None:
+    """Idempotent per-micro-batch top-k writer (module-level so the retry
+    contract is directly testable): rank within each finalized window,
+    keep k, then dynamically overwrite THIS batch_id's partition only —
+    re-running with the same batch_id replaces rather than duplicates."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n_invocations"), "tool")
+    (
+        batch_df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def streaming_trending_tools(
     stream: DataFrame,
     output_dir: str,
@@ -633,6 +654,13 @@ def streaming_trending_tools(
     each emitted window — ranks equal the batch computation exactly
     (asserted in tests/test_streaming.py). Ties break by tool name.
 
+    Sink idempotence: ``foreachBatch`` is at-least-once — a micro-batch
+    retried after a mid-write failure re-runs ``write_topk`` with the SAME
+    ``batch_id``. A plain append would duplicate its rows, so the sink
+    partitions by ``batch_id`` and dynamically overwrites exactly that
+    partition: the retry replaces its own earlier (possibly partial)
+    output and no other batch's, making the observable sink exactly-once.
+
     Scale: the windowed count state is |windows-in-horizon| x |tools| —
     bounded; each foreachBatch ranks only the windows finalizing in that
     trigger (K rows per window survive to the sink).
@@ -640,17 +668,7 @@ def streaming_trending_tools(
     counts = windowed_tool_counts(stream, window, watermark)
 
     def write_topk(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("window_start").orderBy(
-            F.desc("n_invocations"), "tool"
-        )
-        (
-            batch_df.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .write.mode("append")
-            .parquet(output_dir)
-        )
+        _write_topk_batch(batch_df, batch_id, output_dir, k)
 
     return (
         counts.writeStream.foreachBatch(write_topk)

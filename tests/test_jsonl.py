@@ -78,18 +78,34 @@ def test_jsonl_feed_runs_the_pipeline(spark, tmp_path):
 
 
 def test_cli_load_input_detects_jsonl_dir(spark, tmp_path):
+    """The repo's own JSONL sink output (Spark part-*.json files) must
+    ingest directly through load_input — no renaming workaround."""
     from log_analysis_system_spark.__main__ import load_input
 
     t = load_transcripts(spark, SF).limit(50)
     feed = tmp_path / "feed"
-    write_transcripts_jsonl(t, str(feed / "drop1"))
-    # Spark's json writer names parts part-*.json; give the dir a .jsonl
-    # marker file the detector globs for, pointing at the real parts
-    import glob
-    import shutil
-
-    for i, f in enumerate(glob.glob(str(feed / "drop1" / "part-*.json"))):
-        shutil.copy(f, str(feed / f"drop{i}.jsonl"))
-    shutil.rmtree(str(feed / "drop1"))
+    write_transcripts_jsonl(t, str(feed))
     turns = load_input(spark, str(feed))
     assert turns.count() == 50
+
+
+def test_cli_load_input_routes_jsonl_rejects_to_sink(spark, tmp_path):
+    """Ingest-level rejects (malformed JSON / missing conv_id) land in
+    <output>/rejects_jsonl instead of being counted-and-dropped."""
+    from log_analysis_system_spark.__main__ import load_input
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "drop0.jsonl").write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+        '"text": "hi", "tool": null, "ts": "2024-01-01T00:00:00"}\n'
+        "this is not json\n"
+        '{"conv_id": null, "turn_idx": 1, "role": "user", '
+        '"text": "orphan", "tool": null, "ts": "2024-01-01T00:00:01"}\n'
+    )
+    out = tmp_path / "out"
+    turns = load_input(spark, str(feed), output_dir=str(out))
+    assert turns.count() == 1
+    rej = spark.read.parquet(str(out / "rejects_jsonl"))
+    reasons = sorted(r.reason for r in rej.collect())
+    assert reasons == ["malformed_json", "missing_conv_id"]

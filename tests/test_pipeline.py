@@ -194,3 +194,25 @@ def test_compact_table_one_file_per_partition(spark, tmp_path_factory):
     # idempotent: a second compaction is a no-op rewrite, same multiset
     assert catalog.compact_table(spark, base, "t", partition_cols=["bucket"]) == 4000
     assert all(n == 1 for n in files_per_bucket().values())
+
+
+def test_pipeline_survives_all_rejects_input(spark, tmp_path_factory):
+    """A feed where every payload is unparseable produces an empty
+    parsed_turns sink — which, bucket-partitioned, contains no
+    schema-bearing files. The aggregate stage must record itself done
+    with zero counts instead of crashing on the unreadable table."""
+    out = str(tmp_path_factory.mktemp("allrej"))
+    garbage = spark.range(20).select(
+        F.concat(F.lit("conv"), (F.col("id") % 4).cast("string")).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("completely unparseable payload ###").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+    )
+    res = run_pipeline(spark, garbage, out, run_id="allrej-1", resume=False)
+    assert res.aggregate_ran
+    assert res.sink_counts["rejects"] == 20
+    assert res.sink_counts["parsed_turns"] == 0
+    rej = catalog.read_table(spark, out, "rejects")
+    assert rej.count() == 20

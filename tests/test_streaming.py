@@ -366,3 +366,38 @@ def test_streaming_trending_tools_topk_matches_batch(spark, stream_dirs):
     got_windows = {r[0] for r in got}
     assert got and {b for b in batch if b[0] in got_windows} == got
     assert len(got_windows) >= len({b[0] for b in batch}) // 2
+
+
+def test_trending_tools_batch_writer_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch retried after a
+    mid-write failure re-runs the writer with the SAME batch_id. The sink
+    must replace that batch's partition, not append a duplicate copy."""
+    from log_analysis_system_spark.streaming.stream_pipeline import (
+        _write_topk_batch,
+        windowed_tool_counts,
+    )
+
+    out = str(tmp_path / "topk")
+    t = load_transcripts(spark, SF)
+    counts = windowed_tool_counts(t, window="6 hours")
+
+    _write_topk_batch(counts, 7, out, k=2)
+    once = sorted(
+        (r.window_start, r.tool, r.n_invocations, r.rank, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert once, "writer produced no rows"
+    # simulated retry: same batch_id, same data -> identical sink contents
+    _write_topk_batch(counts, 7, out, k=2)
+    twice = sorted(
+        (r.window_start, r.tool, r.n_invocations, r.rank, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert twice == once
+    # a DIFFERENT batch_id appends alongside (cross-batch data preserved)
+    _write_topk_batch(counts.limit(0), 8, out, k=2)
+    after = spark.read.parquet(out)
+    assert sorted(
+        (r.window_start, r.tool, r.n_invocations, r.rank, r.batch_id)
+        for r in after.where(F.col("batch_id") == 7).collect()
+    ) == once

@@ -33,7 +33,16 @@ def main(argv: list[str]) -> int:
     oq, nq = old.get("queries", {}), new.get("queries", {})
     op, np_ = old.get("query_probes", {}), new.get("query_probes", {})
     names = sorted(set(oq) | set(nq))
-    width = max(len(n) for n in names)
+    width = max((len(n) for n in names), default=0)
+    if fail_over and (not op or not np_):
+        # without per-query probe flags the clean-window condition below
+        # can never hold, so the gate would silently pass everything
+        print(
+            "warning: --fail-over set but "
+            f"{'both files lack' if not op and not np_ else (old_p if not op else new_p) + ' lacks'} "
+            "query_probes — the regression gate is INACTIVE",
+            file=sys.stderr,
+        )
     bad = []
     for n in names:
         o, x = oq.get(n), nq.get(n)
