@@ -306,18 +306,40 @@ def read_document_stream(
     )
 
 
-def dedup_batch_handler(corpus_docs: DataFrame, output_dir: str):
+def dedup_batch_handler(
+    corpus_docs: DataFrame | None,
+    output_dir: str,
+    corpus_prefix: str | None = None,
+):
     """The foreachBatch handler for streaming_incremental_dedup, exposed
     so tests can replay a (batch_df, batch_id) pair directly. foreachBatch
     is at-least-once: partitioning by batch_id + dynamic overwrite makes a
     replayed batch (crash between sink write and checkpoint offset commit)
-    REPLACE its own partition instead of appending duplicate matches."""
+    REPLACE its own partition instead of appending duplicate matches.
+
+    With ``corpus_prefix`` set, each batch probes the PRE-MATERIALIZED
+    bucketed shingle/band tables written by
+    ``operators.dedup.materialize_corpus_lsh`` — the corpus is never
+    re-shingled per micro-batch. Without it, the legacy recompute path
+    shingles ``corpus_docs`` inside every batch (correct, but per-batch
+    cost carries a corpus-sized term — fine only at test scale).
+    """
     from ..operators import dedup as dd
+
+    if (corpus_docs is None) == (corpus_prefix is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs or corpus_prefix"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        matches = dd.minhash_lsh_incremental(batch_df, corpus_docs)
+        if corpus_prefix is not None:
+            matches = dd.minhash_lsh_incremental_probed(
+                batch_df, batch_df.sparkSession, corpus_prefix
+            )
+        else:
+            matches = dd.minhash_lsh_incremental(batch_df, corpus_docs)
         catalog.write_table(
             matches.withColumn("batch_id", F.lit(batch_id)),
             output_dir,
@@ -331,25 +353,31 @@ def dedup_batch_handler(corpus_docs: DataFrame, output_dir: str):
 
 def streaming_incremental_dedup(
     stream_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     output_dir: str,
     checkpoint_dir: str,
+    corpus_prefix: str | None = None,
 ):
     """Streaming near-dup screening: every arriving micro-batch of
-    documents is MinHash/LSH-probed against the pre-materialized corpus
-    (``operators.dedup.minhash_lsh_incremental`` — band join against the
-    corpus band table, exact-Jaccard verify), and verified matches append
-    to the ``near_dup_matches`` sink.
+    documents is MinHash/LSH-probed against the corpus (band join, then
+    exact-Jaccard verify), and verified matches land in the
+    ``near_dup_matches`` sink.
 
-    This is the daily-ingest D23 shape promoted to a stream: per-batch
-    cost tracks the BATCH size (the corpus side is static and would be a
-    pre-materialized bucketed band/shingle table at 10^12 docs — here it
-    is recomputed per batch at test scale). foreachBatch reuses the batch
-    operator verbatim, so streaming and batch emit identical matches
+    This is the daily-ingest D23 shape promoted to a stream, and the
+    100 TB plan is the ``corpus_prefix`` mode: run
+    ``operators.dedup.materialize_corpus_lsh`` ONCE (bucketed corpus
+    shingle + band tables — the 10^12-doc corpus is shingled exactly
+    once), then every micro-batch probes those tables via
+    ``minhash_lsh_incremental_probed`` and pays batch-proportional
+    compute only (the drained plan shows FileScans of the two
+    materialized tables, never the corpus source — plan-asserted in
+    tests/test_streaming_dedup.py). ``corpus_docs`` mode re-shingles the
+    corpus inside each batch — the recompute fallback for ad-hoc runs.
+    Both modes emit matches identical to the one-shot batch operator
     (asserted in tests/test_streaming_dedup.py). Returns the started
     StreamingQuery.
     """
-    handle = dedup_batch_handler(corpus_docs, output_dir)
+    handle = dedup_batch_handler(corpus_docs, output_dir, corpus_prefix)
 
     return (
         stream_docs.writeStream.foreachBatch(handle)

@@ -142,3 +142,60 @@ def test_streaming_corpus_score_matches_batch(spark, split_docs, tmp_path):
     q2.awaitTermination(120)
     again = spark.read.parquet(str(out / "doc_scores_stream")).count()
     assert again == len(got)
+
+
+def test_stream_probed_matches_batch_and_scans_band_tables(
+    spark, split_docs, tmp_path
+):
+    """The 100 TB streaming mode: materialize the corpus's bucketed
+    shingle/band tables ONCE, drain the stream probing them, and assert
+    (a) match-set equality with the one-shot batch operator and (b) the
+    probed per-batch plan scans the materialized tables and never the
+    corpus source — no re-shingling per micro-batch."""
+    feed, corpus, new = split_docs
+    prefix = "stream_probe_corpus"
+    sh_name, band_name = dd.materialize_corpus_lsh(
+        corpus, prefix, path=str(tmp_path / "corpus_lsh")
+    )
+    try:
+        out = str(tmp_path / "out")
+        q = sp.streaming_incremental_dedup(
+            sp.read_document_stream(spark, feed, max_files_per_trigger=2),
+            None,
+            out,
+            str(tmp_path / "ckpt"),
+            corpus_prefix=prefix,
+        )
+        q.awaitTermination()
+        got = {
+            (r["new_id"], r["corpus_id"], r["jaccard"])
+            for r in catalog.read_table(
+                spark, out, "near_dup_matches"
+            ).collect()
+        }
+        want = {
+            (r["new_id"], r["corpus_id"], r["jaccard"])
+            for r in dd.minhash_lsh_incremental(new, corpus).collect()
+        }
+        assert got == want and want
+
+        # no-recompute evidence on the exact frame the handler builds
+        probed = dd.minhash_lsh_incremental_probed(new, spark, prefix)
+        plan = probed._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert sh_name in plan and band_name in plan, plan
+        assert "documents.parquet" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sh_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {band_name}")
+
+
+def test_dedup_batch_handler_rejects_ambiguous_corpus_args(spark, split_docs):
+    _, corpus, _ = split_docs
+    with pytest.raises(ValueError):
+        sp.dedup_batch_handler(corpus, "/tmp/x", corpus_prefix="p")
+    with pytest.raises(ValueError):
+        sp.dedup_batch_handler(None, "/tmp/x")

@@ -177,19 +177,36 @@ def main() -> None:
     doc_feed = os.path.join(work, "doc_feed")
     new.repartition(8).write.parquet(doc_feed)
 
+    # one-time corpus-side materialization (the 10^12-doc corpus is
+    # shingled exactly once; timed separately — it amortizes over every
+    # later ingest batch), then the drain probes the bucketed tables:
+    # per-batch cost tracks the batch, not the corpus (round-5 wiring of
+    # minhash_lsh_incremental_probed into the streaming path)
+    from log_analysis_system_spark.operators import dedup as dd
+
+    t0 = time.perf_counter()
+    sh_name, band_name = dd.materialize_corpus_lsh(
+        corpus, "bench_stream_corpus", path=os.path.join(work, "corpus_lsh")
+    )
+    mat_wall = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     sp.streaming_incremental_dedup(
         sp.read_document_stream(spark, doc_feed, max_files_per_trigger=4),
-        corpus,
+        None,
         os.path.join(work, "dedup_out"),
         os.path.join(work, "ckpt_incdedup"),
+        corpus_prefix="bench_stream_corpus",
     ).awaitTermination()
     wall = time.perf_counter() - t0
     corpus.unpersist()
+    spark.sql(f"DROP TABLE IF EXISTS {sh_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {band_name}")
     results["incremental_dedup_sf01"] = {
         "wall_s": round(wall, 2),
         "docs_per_sec": round(n_new / wall, 1),
         "n_new_docs": n_new,
+        "corpus_materialize_s": round(mat_wall, 2),
     }
 
     # 6) streaming corpus scoring over the full sf0.1 document corpus
