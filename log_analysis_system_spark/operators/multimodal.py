@@ -366,62 +366,212 @@ def extract_audio_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(run, AUDIO_SCHEMA)
 
 
-# -------------------------------------------------------------- video stub
-# 'VID0' is a SYNTHETIC uncompressed container (magic + <HHHH w h n_frames
-# fps> + raw RGB frames) standing in for a real codec — no ffmpeg/image
-# libs exist in this environment (the brief's documented stub-decode seam).
-# Everything AROUND the codec is the real shape a video stage has: binary
-# payloads streaming executor-side in Arrow batches, header parse, strided
-# frame sampling, per-channel statistics.
-VIDEO_MAGIC = b"VID0"
+# --------------------------------------------------------------- AVI codec
+# REAL RIFF/AVI container with uncompressed 'DIB ' video frames (24-bit
+# BGR bottom-up rows, 4-byte-aligned — the BI_RGB AVI layout every media
+# player and ffmpeg open natively). Writer and parser are pure Python +
+# NumPy: an uncompressed-DIB AVI needs no codec library, so unlike the
+# earlier synthetic 'VID0' stand-in this is a standards-conformant format
+# end to end (structure: RIFF('AVI ') -> LIST(hdrl){avih,
+# LIST(strl){strh,strf}} -> LIST(movi){'00db' frames} -> idx1). The
+# compressed-codec seam (MJPEG/H.264 handlers) slots into
+# ``_frames_from_avi``'s per-frame decode unchanged.
 VIDEO_FPS = 10
 VIDEO_FRAME_STRIDE = 2
+VIDEO_MIME = "video/x-msvideo"
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def _dib_stride(w: int) -> int:
+    """Bytes per DIB row: 24-bit pixels, rows padded to 4-byte alignment."""
+    return ((w * 3 + 3) // 4) * 4
 
 
 def make_video(doc_id: int) -> bytes:
-    """Deterministic tiny clip for doc_id: width 2+id%2, height 2,
-    4+id%3 frames at 10 fps; frame f pixel i = (id*17 + f*7 + i) % 256.
-    Mirrors the analytic oracle SQL."""
+    """Deterministic tiny AVI clip for doc_id: width 2+id%2, height 2,
+    4+id%3 frames at 10 fps; RGB frame f pixel i = (id*17 + f*7 + i) % 256
+    (top-down row-major, channel-interleaved — mirrors the analytic
+    oracle SQL). The pixel recipe is DIB-encoded (BGR, bottom-up, padded
+    rows) into real '00db' movi chunks with a full hdrl header pair and
+    idx1 index; total file size is the closed form
+    232 + nf * (24 + 2 * stride) the oracle recomputes."""
     import struct
 
     w, h, nf = 2 + doc_id % 2, 2, 4 + doc_id % 3
-    header = VIDEO_MAGIC + struct.pack("<HHHH", w, h, nf, VIDEO_FPS)
-    frames = bytes(
-        (doc_id * 17 + f * 7 + i) % 256
-        for f in range(nf)
-        for i in range(w * h * 3)
+    stride, fps = _dib_stride(w), VIDEO_FPS
+    fb = stride * h
+    frames = []
+    for f in range(nf):
+        rgb = bytes(
+            (doc_id * 17 + f * 7 + i) % 256 for i in range(w * h * 3)
+        )
+        rows = []
+        for y in range(h - 1, -1, -1):  # DIB rows are bottom-up
+            row = bytearray()
+            for x in range(w):
+                base = (y * w + x) * 3
+                row += bytes((rgb[base + 2], rgb[base + 1], rgb[base]))
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        frames.append(b"".join(rows))
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        fb * fps,          # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        _AVIF_HASINDEX,    # dwFlags
+        nf, 0, 1, fb,      # totalFrames, initialFrames, streams, bufSize
+        w, h, 0, 0, 0, 0,  # width, height, reserved[4]
     )
-    return header + frames
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0,        # dwFlags, wPriority, wLanguage, dwInitialFrames
+        1, fps,            # dwScale, dwRate -> fps = rate/scale
+        0, nf, fb, 0, 0,   # start, length, bufSize, quality, sampleSize
+        0, 0, w, h,        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb, 0, 0, 0, 0
+    )  # BITMAPINFOHEADER, biCompression=0 (BI_RGB)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_body = b"".join(chunk(b"00db", fr) for fr in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the position of the 'movi' fourcc
+    idx = b"".join(
+        b"00db" + struct.pack("<III", _AVIIF_KEYFRAME, 4 + f * (8 + fb), fb)
+        for f in range(nf)
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + chunk(b"idx1", idx))
+
+
+def _walk_riff(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, body_start, body_size) for each
+    chunk in [pos, end); raises ValueError when a declared size runs past
+    the payload (truncation)."""
+    import struct
+
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError(
+                f"chunk {cid!r} length mismatch: declares {size}B, "
+                f"{end - pos - 8}B remain"
+            )
+        if cid == b"LIST":
+            yield cid, payload[pos + 8 : pos + 12], pos + 12, size - 4
+        else:
+            yield cid, None, pos + 8, size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+
+
+def _frames_from_avi(payload: bytes):
+    """Parse one RIFF/AVI payload into (frames nf x h x w x 3 RGB float64,
+    fps). Only the uncompressed 24-bit DIB layout is decoded here — the
+    compressed-handler seam. Raises ValueError on malformed input."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError(
+            f"RIFF length mismatch: declares {riff_size}B, "
+            f"payload has {len(payload) - 8}B"
+        )
+    dims = None  # (w, h) from strf
+    fps = None
+    raw_frames: list[bytes] = []
+    for cid, ltype, start, size in _walk_riff(payload, 12, 8 + riff_size):
+        if cid == b"LIST" and ltype == b"hdrl":
+            for c2, l2, s2, z2 in _walk_riff(payload, start, start + size):
+                if c2 == b"LIST" and l2 == b"strl":
+                    for c3, _, s3, z3 in _walk_riff(payload, s2, s2 + z2):
+                        if c3 == b"strh":
+                            if payload[s3 : s3 + 4] != b"vids":
+                                raise ValueError(
+                                    "first stream is not video ('vids')"
+                                )
+                            scale, rate = struct.unpack_from(
+                                "<II", payload, s3 + 20
+                            )
+                            if scale == 0 or rate % scale:
+                                raise ValueError(
+                                    f"non-integral fps rate/scale "
+                                    f"{rate}/{scale}"
+                                )
+                            fps = rate // scale
+                        elif c3 == b"strf":
+                            if z3 < 40:
+                                raise ValueError("truncated strf header")
+                            (_, w, h, _, bits, comp) = struct.unpack_from(
+                                "<IiiHHI", payload, s3
+                            )
+                            if bits != 24 or comp != 0:
+                                raise ValueError(
+                                    f"unsupported AVI codec (bits={bits}, "
+                                    f"compression={comp}); only "
+                                    "uncompressed 24-bit DIB is decoded"
+                                )
+                            dims = (w, abs(h))
+        elif cid == b"LIST" and ltype == b"movi":
+            for c2, _, s2, z2 in _walk_riff(payload, start, start + size):
+                if c2.endswith(b"db") or c2.endswith(b"dc"):
+                    raw_frames.append(payload[s2 : s2 + z2])
+    if dims is None or fps is None:
+        raise ValueError("AVI missing strh/strf stream headers")
+    if not raw_frames:
+        raise ValueError("AVI movi list contains no frames")
+    w, h = dims
+    stride = _dib_stride(w)
+    for f, fr in enumerate(raw_frames):
+        if len(fr) != stride * h:
+            raise ValueError(
+                f"frame {f} length mismatch: {len(fr)}B != stride*h "
+                f"{stride * h}B"
+            )
+    body = np.frombuffer(b"".join(raw_frames), dtype=np.uint8)
+    rows = body.reshape(len(raw_frames), h, stride)[:, :, : w * 3]
+    bgr = rows.reshape(len(raw_frames), h, w, 3)[:, ::-1]  # bottom-up
+    return bgr[..., ::-1].astype(np.float64), fps  # BGR -> RGB
 
 
 def decode_video(payload: bytes, stride: int = VIDEO_FRAME_STRIDE) -> dict:
-    """Frame-sample one clip: parse the container header, walk every
-    ``stride``-th frame, emit per-channel means over the sampled frames.
-    Raises ValueError (typed contract) on malformed payloads."""
-    import struct
-
+    """Frame-sample one AVI clip: parse the RIFF container, decode the
+    DIB frames, walk every ``stride``-th frame, emit per-channel means
+    over the sampled frames. Raises ValueError (typed contract) on
+    malformed payloads."""
     if payload is None:
         raise ValueError("null payload")  # typed, not a bytes(None) crash
     payload = bytes(payload)
-    if len(payload) < 12 or payload[:4] != VIDEO_MAGIC:
-        raise ValueError("not a VID0 payload")
-    w, h, nf, fps = struct.unpack_from("<HHHH", payload, 4)
-    frame_len = w * h * 3
-    if len(payload) != 12 + nf * frame_len:
-        raise ValueError(
-            f"VID0 length mismatch: header says {nf}x{frame_len}B frames, "
-            f"payload has {len(payload) - 12}B"
-        )
-    body = np.frombuffer(payload, dtype=np.uint8, offset=12).astype(np.float64)
-    frames = body.reshape(nf, h, w, 3)
+    frames, fps = _frames_from_avi(payload)
+    nf, h, w, _ = frames.shape
     sampled = frames[::stride]
     means = sampled.reshape(-1, 3).mean(axis=0)
     return {
         "n_bytes": len(payload),
-        "width": w,
-        "height": h,
-        "n_frames": nf,
-        "fps": fps,
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(nf),
+        "fps": int(fps),
         "duration_sec": nf / fps,
         "n_sampled": int(sampled.shape[0]),
         "mean_c0": float(means[0]),
@@ -451,7 +601,7 @@ _VIDEO_COLS = [f.name for f in VIDEO_SCHEMA.fields[2:]]
 
 
 def attach_video_payload(docs: DataFrame) -> DataFrame:
-    """Synthetic-video ingest: a deterministic VID0 clip per doc_id,
+    """Synthetic-video ingest: a deterministic DIB-in-AVI clip per doc_id,
     generated executor-side in Arrow batches (bytes never transit the
     driver) — the video sibling of attach_ppm_payload/attach_wav_payload."""
 
@@ -471,7 +621,7 @@ def attach_video_payload(docs: DataFrame) -> DataFrame:
         "doc_id",
         "payload",
         F.struct(
-            F.lit("video/x-synthetic").alias("mime"),
+            F.lit(VIDEO_MIME).alias("mime"),
             F.octet_length("payload").alias("n_bytes"),
             F.lit("synthetic").alias("origin"),
         ).alias("meta"),

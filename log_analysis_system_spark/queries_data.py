@@ -372,10 +372,11 @@ def q_corpus_shards(spark, sf_dir):
 
 
 def q_multimodal_video_features(spark, sf_dir):
-    """Strided frame sampling over the synthetic VID0 clips (the stub
-    container documented in operators/multimodal.py; plumbing + sampling
-    are the real shape) — per-channel means over every 2nd frame, checked
-    against an analytic oracle."""
+    """Strided frame sampling over real RIFF/AVI clips (uncompressed
+    24-bit DIB frames — writer+parser in operators/multimodal.py, no
+    codec libraries needed) — per-channel means over every 2nd frame,
+    checked against an analytic oracle including the closed-form
+    container size."""
     df = mm.extract_video_features(mm.attach_video_payload(_docs(spark, sf_dir)))
     for c in ("duration_sec", "mean_c0", "mean_c1", "mean_c2"):
         df = df.withColumn(c, F.round(F.col(c), 6))
@@ -843,14 +844,19 @@ SELECT doc_id,
 FROM px GROUP BY doc_id ORDER BY doc_id
 """,
     # sampled frames f in {0, 2, 4}: stride 2 over nf in [4, 6];
-    # n_sampled = (nf + 1) // 2; pixel (f, i) = (id*17 + f*7 + i) % 256
+    # n_sampled = (nf + 1) // 2; pixel (f, i) = (id*17 + f*7 + i) % 256.
+    # n_bytes is the closed-form RIFF/AVI container size: fixed headers
+    # (RIFF+hdrl+movi listType+idx1 header = 232B) + per frame a movi
+    # chunk (8B header + stride*h DIB bytes; stride = 4-byte-aligned
+    # 24-bit row = 8 for w=2, 12 for w=3) + a 16B idx1 entry
     "multimodal_video_features": """
 WITH dims AS (
-  SELECT doc_id, 2 + doc_id % 2 AS w, 2 AS h, 4 + doc_id % 3 AS nf
+  SELECT doc_id, 2 + doc_id % 2 AS w, 2 AS h, 4 + doc_id % 3 AS nf,
+         ((2 + doc_id % 2) * 3 + 3) // 4 * 4 AS dib_stride
   FROM documents
 ),
 px AS (
-  SELECT doc_id, w, h, nf, f.f, i.i,
+  SELECT doc_id, w, h, nf, dib_stride, f.f, i.i,
          (doc_id * 17 + f.f * 7 + i.i) % 256 AS v, i.i % 3 AS c
   FROM dims
   CROSS JOIN range(0, 6) f(f)
@@ -858,8 +864,8 @@ px AS (
   WHERE f.f < nf AND f.f % 2 = 0 AND i.i < w * h * 3
 )
 SELECT doc_id,
-       'video/x-synthetic' AS mime,
-       CAST(12 + max(nf) * max(w) * max(h) * 3 AS INT) AS n_bytes,
+       'video/x-msvideo' AS mime,
+       CAST(232 + max(nf) * (24 + max(dib_stride) * max(h)) AS INT) AS n_bytes,
        CAST(max(w) AS INT) AS width,
        CAST(max(h) AS INT) AS height,
        CAST(max(nf) AS INT) AS n_frames,

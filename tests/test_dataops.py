@@ -672,8 +672,9 @@ def test_audio_features_on_testdata(spark):
 
 
 def test_video_decode_known_values():
-    """decode_video parses make_video output; hand-check doc_id=0:
-    w=2, h=2, nf=4, sampled frames {0, 2}, pixel (f,i) = (f*7 + i) % 256."""
+    """decode_video parses make_video's RIFF/AVI output; hand-check
+    doc_id=0: w=2, h=2, nf=4, sampled frames {0, 2},
+    pixel (f,i) = (f*7 + i) % 256."""
     out = mm.decode_video(mm.make_video(0))
     assert (out["width"], out["height"], out["n_frames"], out["fps"]) == (
         2, 2, 4, 10,
@@ -690,11 +691,59 @@ def test_video_decode_known_values():
 def test_video_decode_typed_errors():
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="not a VID0"):
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
         mm.decode_video(b"AVI wannabe")
     truncated = mm.make_video(3)[:-1]
     with _pytest.raises(ValueError, match="length mismatch"):
         mm.decode_video(truncated)
+    # a real RIFF that is a WAVE, not an AVI
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        mm.decode_video(mm.make_wav(1))
+    # compressed-codec seam: biCompression != 0 must be a typed refusal
+    avi = bytearray(mm.make_video(0))
+    strf_body = avi.index(b"strf") + 8
+    avi[strf_body + 16 : strf_body + 20] = (1).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="unsupported AVI codec"):
+        mm.decode_video(bytes(avi))
+
+
+def test_video_container_is_structural_avi():
+    """The written container is a standards-conformant RIFF/AVI: correct
+    top-level magic, internally consistent chunk sizes, an hdrl with
+    avih + one 'vids' stream marked 'DIB ', a movi list with exactly
+    n_frames '00db' chunks, and an idx1 whose offsets point at each
+    frame chunk's fourcc (relative to the 'movi' listType position)."""
+    import struct
+
+    for did in (0, 1, 5):
+        b = mm.make_video(did)
+        w, h, nf = 2 + did % 2, 2, 4 + did % 3
+        fb = mm._dib_stride(w) * h
+        assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+        assert struct.unpack_from("<I", b, 4)[0] + 8 == len(b)
+        chunks = {
+            (cid, ltype): (start, size)
+            for cid, ltype, start, size in mm._walk_riff(b, 12, len(b))
+        }
+        assert (b"LIST", b"hdrl") in chunks
+        assert (b"LIST", b"movi") in chunks
+        assert (b"idx1", None) in chunks
+        # stream header declares the DIB handler and nf frames
+        strh_at = b.index(b"strh") + 8
+        assert b[strh_at : strh_at + 8] == b"vids" + b"DIB "
+        assert struct.unpack_from("<I", b, strh_at + 32)[0] == nf  # dwLength
+        # idx1 offsets resolve to '00db' fourccs inside movi
+        movi_start, movi_size = chunks[(b"LIST", b"movi")]
+        movi_fourcc_at = movi_start - 4
+        idx_start, idx_size = chunks[(b"idx1", None)]
+        assert idx_size == 16 * nf
+        for f in range(nf):
+            cid, flags, off, size = struct.unpack_from(
+                "<4sIII", b, idx_start + 16 * f
+            )
+            assert cid == b"00db" and size == fb
+            at = movi_fourcc_at + off
+            assert b[at : at + 4] == b"00db"
 
 
 # ---------------------------------------------------------- round-4 operators
