@@ -226,6 +226,40 @@ def _events_rows():
         # DuckDB's ASOF l.ts >= r.ts)
         (30, None, 3, "error", None, None),
         (31, None, 3, "click", 1.0, None),
+        # ---- round-5 retention/EWMA edges (VERDICT r4 item #5) ----
+        # gap-week returner: cohort of Mon Mar 4, active again Mar 18 but
+        # NOT Mar 11 -> the (cohort, offset=1) cell must be ABSENT while
+        # offset=2 exists (sparse-offset shape)
+        (32, _ts("2024-03-04 10:00:00"), 11, "view", 1.0, None),
+        (33, _ts("2024-03-18 10:00:00"), 11, "view", 1.0, None),
+        # same-cohort member who never returns (retention denominator
+        # counts them; no row of theirs past offset 0)
+        (34, _ts("2024-03-05 09:00:00"), 12, "view", 1.0, None),
+        # ISO-year-boundary cohort: week of Mon 2024-12-30 spans the new
+        # year; the next week starts 2025-01-06 -> datediff/7 must still
+        # be exactly 1 across the year flip on both engines
+        (35, _ts("2024-12-30 00:00:00"), 13, "view", 1.0, None),
+        (36, _ts("2025-01-06 23:59:59"), 13, "view", 1.0, None),
+        # EWMA single-bucket series: one bucket -> ewma == count, never a
+        # spike (no forecast exists)
+        (37, _ts("2024-03-04 00:10:00"), 21, "ping", 1.0, None),
+        # EWMA genuine spike: hour A count 1, hour B count 3 -> 3 > 2*1
+        # (the clean corpus never produced an is_spike=true row). Users
+        # 21-24 are fresh ids so these rows don't perturb the retention
+        # cohorts above (they form their own Mar-4 cohort).
+        (38, _ts("2024-03-04 01:00:00"), 21, "burst", 1.0, None),
+        (39, _ts("2024-03-04 02:00:00"), 22, "burst", 1.0, None),
+        (40, _ts("2024-03-04 02:20:00"), 22, "burst", 1.0, None),
+        (41, _ts("2024-03-04 02:40:00"), 23, "burst", 1.0, None),
+        # EWMA strict-> boundary: hour A count 2, hour B count 4 -> 4 is
+        # exactly spike_factor*ewma and must NOT flag (strict comparison,
+        # exact in IEEE: all quantities are small integers)
+        (42, _ts("2024-03-04 03:00:00"), 21, "edge", 1.0, None),
+        (43, _ts("2024-03-04 03:30:00"), 22, "edge", 1.0, None),
+        (44, _ts("2024-03-04 04:00:00"), 21, "edge", 1.0, None),
+        (45, _ts("2024-03-04 04:15:00"), 22, "edge", 1.0, None),
+        (46, _ts("2024-03-04 04:30:00"), 23, "edge", 1.0, None),
+        (47, _ts("2024-03-04 04:45:00"), 24, "edge", 1.0, None),
     ]
 
 
@@ -370,3 +404,35 @@ def test_hostile_events_cross_engine(spark, hostile_events_dir):
         spark, hostile_events_dir, ("events",), _events_only_queries()
     )
     assert not failures, "\n".join(failures)
+
+
+def test_retention_and_ewma_edges_actually_fire(spark, hostile_events_dir):
+    """The round-5 edge rows must EXERCISE their target shapes (else the
+    cross-engine agreement above is vacuous for them): a sparse offset in
+    retention (offset 1 absent while 2 exists), a year-boundary offset of
+    exactly 1, an is_spike=true bucket, and the strict-> boundary bucket
+    staying unflagged."""
+    from datetime import date
+
+    queries = entrymod.queries()
+    ret = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size)
+        for r in queries["retention_cohorts"](spark, hostile_events_dir).collect()
+    }
+    mar4 = date(2024, 3, 4)
+    # users 11, 12 + the four fresh EWMA users 21-24 share the Mar-4 cohort
+    assert (mar4, 0) in ret and ret[(mar4, 0)][1] == 6
+    assert (mar4, 1) not in ret, "gap week must produce NO cell"
+    assert (mar4, 2) in ret and ret[(mar4, 2)][0] == 1  # user 11 returns
+    dec30 = date(2024, 12, 30)
+    assert ret[(dec30, 1)] == (1, 1), "year-boundary week diff must be 1"
+
+    ew = {
+        (r.event_type, r.hour.hour): (r.n_events, r.ewma, r.is_spike)
+        for r in queries["ewma_traffic"](spark, hostile_events_dir).collect()
+        if r.event_type in ("ping", "burst", "edge")
+    }
+    assert ew[("ping", 0)] == (1, 1.0, False)  # single bucket: never spike
+    assert ew[("burst", 1)][2] is False and ew[("burst", 2)] == (3, 1.5, True)
+    assert ew[("edge", 3)][2] is False
+    assert ew[("edge", 4)] == (4, 2.5, False), "4 == 2*2 must NOT flag"
