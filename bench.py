@@ -84,8 +84,8 @@ DATA_HEADLINE = [
     "winnowing_fingerprints",
     "dsir_sample",
     # round-4 session-4: two representatives of the 13-shape TPC-H
-    # completion (EXTRA_QUERIES, outside the driver registry — see
-    # tests/test_tpch_extra.py). waiting_suppliers is the heaviest new
+    # completion (driver-registered since round 5's promotion — see
+    # queries_tpch.PROMOTED). waiting_suppliers is the heaviest new
     # join topology (fact shuffle join + two staged re-aggregations +
     # only-late filter); product_profit the widest broadcast star
     # (part+supplier+nation broadcast into the fact scan, orderkey
