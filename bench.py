@@ -110,39 +110,48 @@ def _scaling_summary() -> dict | None:
     takes the min-wall trial per core level, and reports throughput at
     both levels plus the N->4N efficiency the north rule gates on.
     """
-    # Both pinned logs measure IDENTICAL pipeline code (zero commits to the
-    # pipeline path between them — checked per session) over the same
-    # deterministic input recipe, so they are one experiment continued
-    # across host windows and min-wall MERGES across them. If a future
-    # session changes the pipeline path, start a new log and EXCLUDE the
-    # stale ones here — min-wall across different code states would pair a
-    # fast-code level with a slow-code level and misstate the efficiency.
+    # Logs are grouped into GENERATIONS: min-wall merges only WITHIN a
+    # generation, because every log in one generation measures IDENTICAL
+    # pipeline code over the same deterministic input recipe (checked per
+    # session). Across generations the code differs (e.g. the round-5
+    # aggregate-stage guard), so pairing a fast-code level with a
+    # slow-code level would misstate the efficiency. The newest
+    # generation that yields a pairable two-level set wins; older
+    # generations are the fallback while a new generation is still
+    # collecting its clean trials.
     here = os.path.dirname(os.path.abspath(__file__))
-    logs = [
-        os.path.join(here, "tools", "scaling_trials_r4_pinned.jsonl"),
-        os.path.join(here, "tools", "scaling_trials_r4s4_pinned.jsonl"),
+    generations = [
+        # round-5 code (ADVICE fixes + aggregate-stage all-rejects guard)
+        ["scaling_trials_r5_pinned.jsonl"],
+        # round-4 code (two logs, zero pipeline-path commits in between)
+        ["scaling_trials_r4_pinned.jsonl", "scaling_trials_r4s4_pinned.jsonl"],
     ]
     try:
-        best: dict[int, dict] = {}
-        used = []
-        for log in logs:
-            if not os.path.exists(log):
-                continue
-            used.append(os.path.basename(log))
-            with open(log) as fh:
-                for line in fh:
-                    rec = json.loads(line)
-                    t = rec.get("trial")
-                    if not t or not rec.get("probe", {}).get("clean"):
-                        continue
-                    # min-wall is only meaningful among trials of the SAME
-                    # input size, so the key carries turns; a future log
-                    # with a different turn count can then never be
-                    # min-wall-merged against these (this was a
-                    # comment-only guard before)
-                    c = (t["cores"], t["turns"])
-                    if c not in best or t["wall_s"] < best[c]["wall_s"]:
-                        best[c] = t
+        best: dict[tuple[int, int], dict] = {}
+        used: list[str] = []
+        for gen in generations:
+            best, used = {}, []
+            for name in gen:
+                log = os.path.join(here, "tools", name)
+                if not os.path.exists(log):
+                    continue
+                used.append(os.path.basename(log))
+                with open(log) as fh:
+                    for line in fh:
+                        rec = json.loads(line)
+                        t = rec.get("trial")
+                        if not t or not rec.get("probe", {}).get("clean"):
+                            continue
+                        # min-wall is only meaningful among trials of the
+                        # SAME input size, so the key carries turns; a log
+                        # with a different turn count can then never be
+                        # min-wall-merged against these (this was a
+                        # comment-only guard before)
+                        c = (t["cores"], t["turns"])
+                        if c not in best or t["wall_s"] < best[c]["wall_s"]:
+                            best[c] = t
+            if len({cores for cores, _ in best}) >= 2:
+                break  # this generation has both levels
         # pair the two core levels at the largest input size measured at
         # BOTH levels; no common size -> no pairable experiment
         sizes = {n for _, n in best}
