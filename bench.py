@@ -101,6 +101,17 @@ def _force(df) -> int:
     return 0
 
 
+# Pinned-scaling trial logs grouped by CODE GENERATION, newest first
+# (module-level so tests can exercise the fallback logic). See
+# _scaling_summary for the merge rule.
+SCALING_LOG_GENERATIONS = [
+    # round-5 code (ADVICE fixes + aggregate-stage all-rejects guard)
+    ["scaling_trials_r5_pinned.jsonl"],
+    # round-4 code (two logs, zero pipeline-path commits in between)
+    ["scaling_trials_r4_pinned.jsonl", "scaling_trials_r4s4_pinned.jsonl"],
+]
+
+
 def _scaling_summary() -> dict | None:
     """N -> 4N scaling evidence from the recorded probe-gated trial logs.
 
@@ -120,12 +131,7 @@ def _scaling_summary() -> dict | None:
     # generations are the fallback while a new generation is still
     # collecting its clean trials.
     here = os.path.dirname(os.path.abspath(__file__))
-    generations = [
-        # round-5 code (ADVICE fixes + aggregate-stage all-rejects guard)
-        ["scaling_trials_r5_pinned.jsonl"],
-        # round-4 code (two logs, zero pipeline-path commits in between)
-        ["scaling_trials_r4_pinned.jsonl", "scaling_trials_r4s4_pinned.jsonl"],
-    ]
+    generations = SCALING_LOG_GENERATIONS
     try:
         best: dict[tuple[int, int], dict] = {}
         used: list[str] = []
@@ -150,8 +156,14 @@ def _scaling_summary() -> dict | None:
                         c = (t["cores"], t["turns"])
                         if c not in best or t["wall_s"] < best[c]["wall_s"]:
                             best[c] = t
-            if len({cores for cores, _ in best}) >= 2:
-                break  # this generation has both levels
+            if any(
+                len({c for c, n2 in best if n2 == n}) >= 2
+                for n in {n for _, n in best}
+            ):
+                break  # this generation has a PAIRABLE two-level set:
+                # two core levels at a common input size (two levels at
+                # different sizes don't count — fall through to older
+                # generations instead of returning None below)
         # pair the two core levels at the largest input size measured at
         # BOTH levels; no common size -> no pairable experiment
         sizes = {n for _, n in best}

@@ -84,15 +84,20 @@ def load_input(spark, path: str, output_dir: str | None = None):
     # read; malformed lines and conv_id-less turns go to an ingest-level
     # rejects sink beside the pipeline's own (which covers unparseable
     # PAYLOADS; a line that never became a turn has no bucket to land in).
-    # Glob covers *.jsonl AND *.json — write_transcripts_jsonl round-trips
-    # through Spark's json sink, whose parts are named part-*.json; the
-    # repo's own sink output must pass its own front door.
-    jsonl_parts = [
-        p
-        for pat in ("*.jsonl", "*.json")
-        for p in globmod.glob(os.path.join(path, pat))
-    ]
-    if os.path.isdir(path) and jsonl_parts:
+    # *.jsonl always marks a JSONL feed; bare *.json parts (the names
+    # Spark's json sink gives write_transcripts_jsonl output) count ONLY
+    # when the directory holds no parquet parts — otherwise a stray
+    # manifest.json beside a transcripts parquet table would hijack the
+    # parquet fallback below and silently ingest zero turns.
+    if os.path.isdir(path):
+        jsonl_parts = globmod.glob(os.path.join(path, "*.jsonl"))
+        if not jsonl_parts and not globmod.glob(
+            os.path.join(path, "*.parquet")
+        ):
+            jsonl_parts = globmod.glob(os.path.join(path, "*.json"))
+    else:
+        jsonl_parts = []
+    if jsonl_parts:
         from .sources.jsonl import read_transcripts_jsonl
 
         turns, rejects = read_transcripts_jsonl(
@@ -109,6 +114,14 @@ def load_input(spark, path: str, output_dir: str | None = None):
                 print(f"jsonl ingest: {n_rej} rejected lines "
                       f"(malformed or missing conv_id) -> {rej_dir}",
                       file=sys.stderr)
+        elif rejects.take(1):
+            # no sink to capture them: still surface that rows were
+            # dropped (take(1) short-circuits; the clean-feed case costs
+            # one scan either way, which the old count-and-warn also paid)
+            print("jsonl ingest: feed has rejected lines (malformed or "
+                  "missing conv_id) and no output dir to capture them — "
+                  "pass output_dir to write the rejects sink",
+                  file=sys.stderr)
         return turns
     # single raw log file (reference dashboard.py --logfile) — sniff the
     # parquet magic so a .pq/.parq transcripts file isn't ingested as text
@@ -119,7 +132,14 @@ def load_input(spark, path: str, output_dir: str | None = None):
             return read_log_dir(
                 spark, os.path.dirname(path) or ".", os.path.basename(path)
             )
-    df = spark.read.parquet(path)
+    # parquet-table fallback. When the directory's parts carry the
+    # standard .parquet suffix, filter the scan to them so a stray
+    # sidecar (manifest.json, README, checksums) can't fail the footer
+    # read; a directory of suffix-less parts reads unfiltered as before.
+    reader = spark.read
+    if os.path.isdir(path) and globmod.glob(os.path.join(path, "*.parquet")):
+        reader = reader.option("pathGlobFilter", "*.parquet")
+    df = reader.parquet(path)
     missing = {"conv_id", "turn_idx", "text"} - set(df.columns)
     if missing:
         raise SystemExit(

@@ -513,10 +513,10 @@ def _frames_from_avi(payload: bytes):
                             scale, rate = struct.unpack_from(
                                 "<II", payload, s3 + 20
                             )
-                            if scale == 0 or rate % scale:
+                            if scale == 0 or rate == 0 or rate % scale:
                                 raise ValueError(
-                                    f"non-integral fps rate/scale "
-                                    f"{rate}/{scale}"
+                                    f"bad fps rate/scale {rate}/{scale}: "
+                                    "must be a positive integral ratio"
                                 )
                             fps = rate // scale
                         elif c3 == b"strf":
@@ -531,7 +531,13 @@ def _frames_from_avi(payload: bytes):
                                     f"compression={comp}); only "
                                     "uncompressed 24-bit DIB is decoded"
                                 )
-                            dims = (w, abs(h))
+                            if w <= 0 or h == 0:
+                                raise ValueError(
+                                    f"bad DIB dimensions {w}x{h}"
+                                )
+                            # negative biHeight is the legal TOP-DOWN DIB
+                            # layout; positive is the usual bottom-up
+                            dims = (w, abs(h), h < 0)
         elif cid == b"LIST" and ltype == b"movi":
             for c2, _, s2, z2 in _walk_riff(payload, start, start + size):
                 if c2.endswith(b"db") or c2.endswith(b"dc"):
@@ -540,7 +546,7 @@ def _frames_from_avi(payload: bytes):
         raise ValueError("AVI missing strh/strf stream headers")
     if not raw_frames:
         raise ValueError("AVI movi list contains no frames")
-    w, h = dims
+    w, h, top_down = dims
     stride = _dib_stride(w)
     for f, fr in enumerate(raw_frames):
         if len(fr) != stride * h:
@@ -550,7 +556,9 @@ def _frames_from_avi(payload: bytes):
             )
     body = np.frombuffer(b"".join(raw_frames), dtype=np.uint8)
     rows = body.reshape(len(raw_frames), h, stride)[:, :, : w * 3]
-    bgr = rows.reshape(len(raw_frames), h, w, 3)[:, ::-1]  # bottom-up
+    bgr = rows.reshape(len(raw_frames), h, w, 3)
+    if not top_down:
+        bgr = bgr[:, ::-1]  # bottom-up rows -> top-down
     return bgr[..., ::-1].astype(np.float64), fps  # BGR -> RGB
 
 

@@ -1493,3 +1493,50 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     d = ts.zipf_fit(one).collect()[0]
     assert d["n_terms"] == 1
     assert d["zipf_slope"] is None and d["r2"] is None
+
+
+def test_video_topdown_dib_decodes_identically():
+    """Negative biHeight is the legal TOP-DOWN DIB layout: rewriting a
+    clip with h := -h and pre-flipped rows must decode to identical
+    features (orientation handled, not abs()-coerced)."""
+    import struct as _struct
+
+    def make_topdown(doc_id):
+        b = bytearray(mm.make_video(doc_id))
+        w, h, nf = 2 + doc_id % 2, 2, 4 + doc_id % 3
+        stride = mm._dib_stride(w)
+        strf_at = b.index(b"strf") + 8
+        b[strf_at + 8 : strf_at + 12] = (-h).to_bytes(4, "little", signed=True)
+        pos = 0
+        for _ in range(nf):
+            at = b.index(b"00db", pos) + 8
+            fr = bytes(b[at : at + stride * h])
+            rows = [fr[i * stride : (i + 1) * stride] for i in range(h)]
+            b[at : at + stride * h] = b"".join(reversed(rows))
+            pos = at + stride * h
+        return bytes(b)
+
+    for did in (0, 1, 5):
+        bu = mm.decode_video(mm.make_video(did))
+        td = mm.decode_video(make_topdown(did))
+        assert {k: v for k, v in bu.items() if k != "n_bytes"} == {
+            k: v for k, v in td.items() if k != "n_bytes"
+        }
+
+
+def test_video_decode_refuses_zero_rate_and_dims():
+    """fps and dimension validation must raise the typed ValueError, not
+    leak a ZeroDivisionError / NaN means out of the Arrow batch."""
+    import pytest as _pytest
+
+    avi = bytearray(mm.make_video(0))
+    strh_body = avi.index(b"strh") + 8
+    avi[strh_body + 24 : strh_body + 28] = (0).to_bytes(4, "little")  # dwRate
+    with _pytest.raises(ValueError, match="rate/scale"):
+        mm.decode_video(bytes(avi))
+
+    avi = bytearray(mm.make_video(0))
+    strf_body = avi.index(b"strf") + 8
+    avi[strf_body + 8 : strf_body + 12] = (0).to_bytes(4, "little", signed=True)
+    with _pytest.raises(ValueError, match="bad DIB dimensions"):
+        mm.decode_video(bytes(avi))

@@ -109,3 +109,20 @@ def test_cli_load_input_routes_jsonl_rejects_to_sink(spark, tmp_path):
     rej = spark.read.parquet(str(out / "rejects_jsonl"))
     reasons = sorted(r.reason for r in rej.collect())
     assert reasons == ["malformed_json", "missing_conv_id"]
+
+
+def test_cli_load_input_json_sidecar_does_not_hijack_parquet_dir(
+    spark, tmp_path
+):
+    """A transcripts parquet directory with a stray .json sidecar (an
+    export manifest, say) must still load through the parquet fallback —
+    bare *.json parts only mark a JSONL feed when no parquet parts
+    exist. Explicit *.jsonl files keep priority either way."""
+    from log_analysis_system_spark.__main__ import load_input
+
+    t = load_transcripts(spark, SF).limit(40)
+    d = tmp_path / "ptable"
+    t.write.parquet(str(d))
+    (d / "manifest.json").write_text('{"exported_by": "some tool"}')
+    df = load_input(spark, str(d))
+    assert df.count() == 40 and "conv_id" in df.columns
