@@ -57,9 +57,9 @@ def read_transcripts_jsonl(
     spark: SparkSession, path: str | list[str]
 ) -> tuple[DataFrame, DataFrame]:
     """Read a JSONL transcript feed (one glob/path or a list of them —
-    ``load_input`` passes the union of ``*.jsonl`` and ``*.json`` parts so
-    :func:`write_transcripts_jsonl` output ingests directly); returns
-    ``(turns, rejects)``.
+    ``load_input`` passes ``*.jsonl`` parts, or bare ``*.json`` parts for
+    a parquet-free directory, so :func:`write_transcripts_jsonl` output
+    ingests directly); returns ``(turns, rejects)``.
 
     ``turns`` carries the transcripts contract with ``ts`` parsed
     (timestamp_ntz to match the parquet tables); ``rejects`` carries
