@@ -126,3 +126,40 @@ def test_cli_load_input_json_sidecar_does_not_hijack_parquet_dir(
     (d / "manifest.json").write_text('{"exported_by": "some tool"}')
     df = load_input(spark, str(d))
     assert df.count() == 40 and "conv_id" in df.columns
+
+
+def test_jsonl_reader_conserves_every_line(spark, tmp_path):
+    """Conservation law of the front door: for an arbitrary feed, every
+    non-empty input line lands in EXACTLY one of (turns, rejects) — no
+    silent drops, no duplication. The adversarial corpus mixes valid
+    turns, malformed JSON, non-object JSON, missing/null conv_id, unicode,
+    huge numbers, and embedded quotes."""
+    lines = [
+        '{"conv_id": "c0", "turn_idx": 0, "role": "user", "text": "ok", "tool": null, "ts": "2024-01-01T00:00:00"}',
+        "garbage not json",
+        "[1, 2, 3]",
+        '"just a string"',
+        "123",
+        "{}",
+        '{"conv_id": null, "turn_idx": 1, "role": "x", "text": "y", "tool": null, "ts": null}',
+        '{"turn_idx": 2}',
+        '{"conv_id": "c-unicode", "turn_idx": 3, "role": "usér", "text": "héllo \\"quoted\\" wörld", "tool": "bash", "ts": "bad-ts"}',
+        '{"conv_id": "c-big", "turn_idx": 2147483647, "role": "r", "text": "", "tool": "", "ts": "2024-12-31T23:59:59.999999"}',
+        '{"conv_id": "c-overflow", "turn_idx": 99999999999999999999, "role": "r", "text": "t", "tool": null, "ts": "2024-01-01T00:00:00"}',
+        '{"conv_id": "", "turn_idx": 4, "role": "r", "text": "empty conv_id is a VALUE, not null", "tool": null, "ts": "2024-01-01T00:00:00"}',
+    ]
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "adversarial.jsonl").write_text("\n".join(lines) + "\n")
+    turns, rejects = read_transcripts_jsonl(spark, str(p))
+    n_turns, n_rejects = turns.count(), rejects.count()
+    assert n_turns + n_rejects == len(lines), (
+        f"{len(lines)} lines in, {n_turns} turns + {n_rejects} rejects out"
+    )
+    # spot the contract edges: empty-string conv_id is a value (kept);
+    # JSON-null and absent conv_id both reject; non-object lines reject
+    kept = {r.conv_id for r in turns.collect()}
+    assert "" in kept and "c-unicode" in kept
+    reasons = [r.reason for r in rejects.collect()]
+    assert reasons.count("missing_conv_id") >= 2
+    assert reasons.count("malformed_json") >= 3
