@@ -92,6 +92,15 @@ DATA_HEADLINE = [
     # shuffle for the year).
     "tpch_waiting_suppliers",
     "tpch_product_profit",
+    # round-5: three more of the newly driver-registered TPC-H completion
+    # shapes — the remaining distinct join topologies of the promotion:
+    # Q2's correlated min-cost subquery (part->partsupp-analog via
+    # supplier/nation/region dims), Q8's two-nation market-share
+    # conditional agg over a 6-table star, Q16's count-distinct
+    # supplier rollup with an anti-joined complaint filter.
+    "tpch_min_cost_supplier",
+    "tpch_market_share",
+    "tpch_parts_suppliers",
 ]
 
 
