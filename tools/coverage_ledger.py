@@ -11,12 +11,14 @@ CI) reads ONE table instead of diffing JSON files.
 Freshness policy (asserted, exit 1 on violation): counting the upcoming
 round as covering the current window, no oracle-paired query's most
 recent driver row may be older than MAX_STALE_ROUNDS rounds.
-MAX_STALE_ROUNDS = 3 is the arithmetic floor, not a choice: 112
-registered queries rotate through a 50-slot window, so a full coverage
-cycle is ceil(112/50) = 3 rounds — the moment a round's CORRECTNESS file
-lands, the ~12 oldest out-of-window entries are necessarily 3 rounds from
-their last row until the NEXT rotation brings them in. A bound of 2 would
-go red at every judge step by construction. Oracle-less
+MAX_STALE_ROUNDS = 3 is the arithmetic floor, not a choice: a 50-slot
+window refreshes at most 50 oracle-paired entries per round, so a bound
+of S is feasible only while oracle-paired count <= 50*S. The registry
+grew 112 -> 148 oracle-paired across rounds 3-5, which still fits the
+3-round cycle (148 <= 150), with exactly 2 slots of slack — registering
+a 149th+ oracle-paired query means either widening the bound to 4 (and
+updating this arithmetic) or retiring an entry. A bound of 2 would go
+red at every judge step by construction (148 > 100). Oracle-less
 queries (approximate sketches / probabilistic recall paths) are listed
 but exempt from the oracle-freshness assertion — their value evidence is
 the paired ``*_check`` invariant wrappers, which ARE oracle-paired and
