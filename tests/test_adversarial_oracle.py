@@ -436,3 +436,277 @@ def test_retention_and_ewma_edges_actually_fire(spark, hostile_events_dir):
     assert ew[("burst", 1)][2] is False and ew[("burst", 2)] == (3, 1.5, True)
     assert ew[("edge", 3)][2] is False
     assert ew[("edge", 4)] == (4, 2.5, False), "4 == 2*2 must NOT flag"
+
+
+# --------------------------------------------------------------------------
+# Hostile TPC-H fixture (round 5): the relational family's analog of the
+# documents/embeddings/events gates above. The driver's testdata generator
+# emits clean, well-distributed TPC-H-ish tables; this fixture keeps the
+# schema contract (keys NOT NULL, FKs valid) but plants the edges the
+# clean tables rarely hit, then runs EVERY registered query whose oracle
+# reads only these seven tables on both engines:
+#
+# - orders with zero lineitems; customers with zero orders (Q13 zero-count
+#   group, Q22 no-recent-orders); a customer whose only order carries the
+#   Q13-excluded priority,
+# - predicate-boundary rows: l_shipdate exactly at the Q1 cutoff (<=),
+#   exactly at Q3's strict >, discount exactly at both Q6 range endpoints,
+#   quantity exactly at the Q6 bound, ship lag exactly at Q4's 75 days and
+#   Q21's 60 days (both strict >), per-order quantity exactly at the Q18
+#   threshold (strict >), Q19 quantity/size at branch endpoints,
+# - ties: two suppliers at the identical Q2 min cost for one part, two
+#   orders with identical Q3 revenue straddling rank order, a Q15 revenue
+#   tie at the max, acctbal exactly 0.0 at Q22's > 0 filter,
+# - year-boundary orderdates (1996-12-31 / 1997-01-01) for the Q7/Q8/Q9
+#   year splits, zero-quantity and discount=1.0 (revenue-zero) lines,
+#   a nation with customers but no suppliers and vice versa.
+#
+# Values are chosen exactly representable where sums feed DECIMAL casts,
+# but the gate itself never predicts outputs — it asserts ENGINE
+# AGREEMENT, the same property the driver checks on clean data.
+
+_TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+)
+
+
+def _tpch_hostile_rows():
+    from datetime import datetime as _dt
+
+    def d(s):
+        return _dt.fromisoformat(s)
+
+    region = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nation = [(i, f"NATION_{i}", i % 5) for i in range(25)]
+
+    # (custkey, name, nationkey, acctbal, mktsegment)
+    customer = [
+        (1, "cust_building_a", 2, 100.0, "BUILDING"),
+        (2, "cust_building_tie", 2, 200.0, "BUILDING"),
+        (3, "cust_no_orders", 3, 500.0, "MACHINERY"),      # Q13 c_count=0
+        (4, "cust_neg_bal", 3, -50.0, "MACHINERY"),        # Q22 avg excl
+        (5, "cust_zero_bal", 3, 0.0, "AUTOMOBILE"),        # > 0.0 boundary
+        (6, "cust_no_supp_nation", 20, 300.0, "HOUSEHOLD"),
+        (7, "cust_urgent_only", 1, 400.0, "FURNITURE"),    # Q13 exclusion
+        (8, "cust_returns", 1, 250.0, "HOUSEHOLD"),        # Q10 path
+        (9, "cust_asia", 7, 125.0, "BUILDING"),            # Q5 ASIA path
+        (10, "cust_rich_no_recent", 8, 9000.0, "MACHINERY"),  # Q22 counted
+    ]
+    # (suppkey, name, nationkey, acctbal)
+    supplier = [
+        (1, "supp_eu_tie_a", 3, 10.0),   # EUROPE (nation 3 -> region 3)
+        (2, "supp_eu_tie_b", 8, 20.0),   # EUROPE; ties Q2 min cost
+        (3, "supp_asia_late_sole", 2, 30.0),   # ASIA; Q21 kept
+        (4, "supp_asia_late_pair", 7, 40.0),   # ASIA; Q21 killed by peer
+        (5, "supp_asia_peer", 12, 50.0),       # ASIA; the killing peer
+        (6, "supp_america", 1, 60.0),
+        (7, "supp_q8_exporter", 3, 70.0),      # NATION_3 (Q8 share side)
+        (8, "supp_gear", 4, 80.0),             # Q9 'gear' profit
+        (9, "supp_q15_tie_a", 6, 90.0),
+        (10, "supp_q15_tie_b", 11, 95.0),
+    ]
+    # (partkey, name, brand, type, size, retailprice)
+    part = [
+        (1, "large bolt", "Brand#1", "LARGE", 15, 100.0),   # Q2 size<=15 edge
+        (2, "red bolt", "Brand#2", "STANDARD", 9, 50.0),    # Q20 prefix+Q16 size
+        (3, "small gear", "Brand#3", "MEDIUM", 17, 75.0),   # Q9 fragment
+        (4, "large gear", "Brand#4", "LARGE", 16, 80.0),    # Q2 size>15 excl
+        (5, "promo widget", "Brand#5", "PROMO", 1, 25.0),   # Q16 both excls
+        (6, "q19 small", "Brand#1", "SMALL", 15, 10.0),     # Q19 b1 hi edge
+        (7, "q19 medium", "Brand#2", "MEDIUM", 10, 20.0),   # Q19 b2 lo edge
+        (8, "q17 avg part", "Brand#3", "ECONOMY", 33, 30.0),  # Q17 boundary
+        (9, "plain rod", "Brand#6", "STANDARD", 41, 40.0),
+        (10, "standard eu", "Brand#7", "STANDARD", 49, 60.0),  # Q8 type
+    ]
+    # (orderkey, custkey, status, totalprice, orderdate, priority)
+    orders = [
+        (1, 1, "O", 1000.0, d("1999-03-14"), "3-MEDIUM"),   # Q3 < edge-1
+        (2, 2, "O", 1000.0, d("1999-03-14"), "3-MEDIUM"),   # Q3 revenue tie
+        (3, 1, "O", 500.0, d("1999-03-15"), "5-LOW"),       # Q3 == boundary
+        (4, 7, "O", 100.0, d("1996-02-01"), "1-URGENT"),    # Q13 excluded
+        (5, 8, "F", 800.0, d("1996-05-01"), "2-HIGH"),      # Q10 returns win
+        (6, 9, "F", 900.0, d("1996-06-01"), "4-NOT SPECIFIED"),  # Q5 ASIA
+        (7, 1, "F", 0.0, d("1996-01-01"), "5-LOW"),         # NO lineitems
+        (8, 2, "F", 700.0, d("1996-12-31"), "3-MEDIUM"),    # year boundary
+        (9, 2, "F", 700.0, d("1997-01-01"), "3-MEDIUM"),    # year boundary
+        (10, 8, "F", 600.0, d("1996-02-15"), "2-HIGH"),     # Q4 lag edges
+        (11, 9, "F", 650.0, d("1996-03-01"), "1-URGENT"),   # Q21 sole-late
+        (12, 9, "F", 660.0, d("1996-03-02"), "2-HIGH"),     # Q21 pair-late
+        (13, 1, "O", 5000.0, d("1996-09-15"), "3-MEDIUM"),  # Q14/Q18 window
+        (14, 10, "O", 120.0, d("1996-11-01"), "5-LOW"),     # old order (Q22
+                                                            # still counts 10)
+        (15, 5, "O", 80.0, d("1996-04-01"), "4-NOT SPECIFIED"),  # Q4 == from
+    ]
+    # (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax,
+    #  returnflag, linestatus, shipdate)
+    lineitem = [
+        # Q3 revenue tie pair (same revenue on orders 1 and 2), ship > edge
+        (1, 9, 6, 1, 4.0, 400.0, 0.0, 0.0, "N", "O", d("1999-03-16")),
+        (2, 9, 6, 1, 4.0, 400.0, 0.0, 0.0, "N", "O", d("1999-03-16")),
+        # Q3 boundary: shipdate exactly Q3_SHIP_AFTER (strict > excludes)
+        (3, 9, 6, 1, 2.0, 200.0, 0.0, 0.0, "N", "O", d("1998-03-15")),
+        # Q1 cutoff: one line exactly AT 2001-09-01 (<= includes), one after
+        (1, 9, 6, 2, 1.0, 100.0, 0.25, 0.0, "A", "F", d("2001-09-01")),
+        (2, 9, 6, 2, 1.0, 100.0, 0.25, 0.0, "R", "F", d("2001-09-02")),
+        # Q6: discount at both endpoints, qty at the bound (strict < 25)
+        (6, 9, 3, 1, 24.0, 240.0, 0.02, 0.0, "N", "O", d("1996-05-01")),
+        (6, 9, 3, 2, 25.0, 250.0, 0.04, 0.0, "N", "O", d("1996-05-02")),
+        (6, 9, 3, 3, 10.0, 100.0, 0.05, 0.0, "N", "O", d("1996-05-03")),
+        # Q4: ship lag exactly 75 days (strict >) and 76 days on order 10
+        (10, 9, 6, 1, 1.0, 50.0, 0.0, 0.0, "N", "F", d("1996-05-01")),
+        (15, 9, 6, 1, 1.0, 50.0, 0.0, 0.0, "N", "F", d("1996-06-16")),
+        # Q21: order 11 -> supp 3 late alone, supp 5 on time (kept);
+        # order 12 -> supp 4 AND supp 5 both late (killed for both)
+        (11, 9, 3, 1, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-05-31")),
+        (11, 9, 5, 2, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-03-10")),
+        (12, 9, 4, 1, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-06-01")),
+        (12, 9, 5, 2, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-06-02")),
+        # Q18: order 13 total qty EXACTLY at the 250 threshold (strict >)
+        (13, 5, 6, 1, 125.0, 1250.0, 0.0, 0.0, "N", "O", d("1996-09-20")),
+        (13, 5, 6, 2, 125.0, 1250.0, 0.0, 0.0, "N", "O", d("1996-09-21")),
+        # Q14 window: PROMO part 5 and non-promo in 1996-09
+        (13, 5, 6, 3, 1.0, 25.0, 0.0, 0.0, "N", "O", d("1996-09-05")),
+        (13, 9, 6, 4, 1.0, 40.0, 0.0, 0.0, "N", "O", d("1996-09-06")),
+        # Q10: returned line for customer 8 inside the window
+        (5, 9, 6, 1, 2.0, 300.0, 0.25, 0.0, "R", "F", d("1996-05-10")),
+        # Q2/Q20: EU suppliers 1 and 2 both supply part 1 (LARGE, size 15)
+        (8, 1, 1, 1, 3.0, 120.0, 0.0, 0.0, "N", "F", d("1996-12-31")),
+        (9, 1, 2, 1, 3.0, 120.0, 0.0, 0.0, "N", "F", d("1997-01-01")),
+        # Q9: gear parts via supp 8, spanning the year boundary
+        (8, 3, 8, 2, 2.0, 150.0, 0.0, 0.0, "N", "F", d("1996-12-31")),
+        (9, 4, 8, 2, 2.0, 160.0, 0.0, 0.0, "N", "F", d("1997-01-01")),
+        # Q17: Brand#3 part 8 — qty 2 and 6 (avg 4; 0.2*avg = 0.8; the
+        # low line probes the strict < on an exact-boundary-free pair)
+        (5, 8, 6, 2, 2.0, 60.0, 0.0, 0.0, "N", "F", d("1996-05-11")),
+        (6, 8, 6, 4, 6.0, 180.0, 0.0, 0.0, "N", "O", d("1996-05-12")),
+        # Q19 branch edges: qty at hi bound (10) size 15 brand#1 flag N;
+        # and the SAME shape with returnflag R (excluded)
+        (13, 6, 6, 5, 10.0, 100.0, 0.25, 0.0, "N", "O", d("1996-09-07")),
+        (13, 6, 6, 6, 10.0, 100.0, 0.25, 0.0, "R", "O", d("1996-09-08")),
+        (13, 7, 6, 7, 11.0, 220.0, 0.0, 0.0, "N", "O", d("1996-09-09")),
+        # Q15 tie: supp 9 and 10 identical revenue in the 1996-Q1 window
+        (7, 9, 9, 1, 2.0, 500.0, 0.0, 0.0, "N", "F", d("1996-02-01")),
+        (7, 9, 10, 2, 2.0, 500.0, 0.0, 0.0, "N", "F", d("1996-02-02")),
+        # degenerate lines: zero quantity; discount 1.0 (revenue zero)
+        (14, 9, 6, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", d("1996-11-02")),
+        (14, 9, 6, 2, 5.0, 500.0, 1.0, 0.25, "N", "O", d("1996-11-03")),
+    ]
+    return region, nation, customer, supplier, part, orders, lineitem
+
+
+@pytest.fixture(scope="module")
+def hostile_tpch_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_tpch_sf")
+    region, nation, customer, supplier, part, orders, lineitem = (
+        _tpch_hostile_rows()
+    )
+
+    def w(name, cols):
+        pq.write_table(pa.table(cols), str(d / f"{name}.parquet"))
+
+    w("region", {
+        "r_regionkey": pa.array([r[0] for r in region], pa.int32()),
+        "r_name": pa.array([r[1] for r in region], pa.string()),
+    })
+    w("nation", {
+        "n_nationkey": pa.array([r[0] for r in nation], pa.int32()),
+        "n_name": pa.array([r[1] for r in nation], pa.string()),
+        "n_regionkey": pa.array([r[2] for r in nation], pa.int32()),
+    })
+    w("customer", {
+        "c_custkey": pa.array([r[0] for r in customer], pa.int64()),
+        "c_name": pa.array([r[1] for r in customer], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in customer], pa.int32()),
+        "c_acctbal": pa.array([r[3] for r in customer], pa.float64()),
+        "c_mktsegment": pa.array([r[4] for r in customer], pa.string()),
+    })
+    w("supplier", {
+        "s_suppkey": pa.array([r[0] for r in supplier], pa.int64()),
+        "s_name": pa.array([r[1] for r in supplier], pa.string()),
+        "s_nationkey": pa.array([r[2] for r in supplier], pa.int32()),
+        "s_acctbal": pa.array([r[3] for r in supplier], pa.float64()),
+    })
+    w("part", {
+        "p_partkey": pa.array([r[0] for r in part], pa.int64()),
+        "p_name": pa.array([r[1] for r in part], pa.string()),
+        "p_brand": pa.array([r[2] for r in part], pa.string()),
+        "p_type": pa.array([r[3] for r in part], pa.string()),
+        "p_size": pa.array([r[4] for r in part], pa.int32()),
+        "p_retailprice": pa.array([r[5] for r in part], pa.float64()),
+    })
+    w("orders", {
+        "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+    })
+    w("lineitem", {
+        "l_orderkey": pa.array([r[0] for r in lineitem], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in lineitem], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in lineitem], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in lineitem], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in lineitem], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in lineitem], pa.float64()),
+        "l_discount": pa.array([r[6] for r in lineitem], pa.float64()),
+        "l_tax": pa.array([r[7] for r in lineitem], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in lineitem], pa.string()),
+        "l_linestatus": pa.array([r[9] for r in lineitem], pa.string()),
+        "l_shipdate": pa.array(
+            [r[10] for r in lineitem], pa.timestamp("us")
+        ),
+    })
+    return str(d)
+
+
+def _tpch_only_queries():
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    other = re.compile(r"\b(documents|embeddings|events)\b", re.IGNORECASE)
+    tpch = re.compile(
+        r"\b(region|nation|customer|supplier|part|orders|lineitem)\b",
+        re.IGNORECASE,
+    )
+    return [
+        name
+        for name, sql in oracles.items()
+        if name in queries
+        and name not in _SCALE_CONTRACT
+        and tpch.search(sql)
+        and not other.search(sql)
+    ]
+
+
+def test_tpch_fixture_selects_a_real_slice():
+    names = _tpch_only_queries()
+    assert len(names) >= 20, names  # the 21 registered TPC-H shapes
+
+
+def test_hostile_tpch_cross_engine(spark, hostile_tpch_dir):
+    failures = _cross_engine_failures(
+        spark, hostile_tpch_dir, _TPCH_TABLES, _tpch_only_queries()
+    )
+    assert not failures, "\n".join(failures)
+
+
+def test_hostile_tpch_edges_are_not_vacuous(spark, hostile_tpch_dir):
+    """The planted edges must produce non-empty results for the queries
+    they target — otherwise the cross-engine agreement above proves
+    nothing about those paths."""
+    queries = entrymod.queries()
+
+    def rows(name):
+        return queries[name](spark, hostile_tpch_dir).collect()
+
+    assert len(rows("tpch_pricing_summary")) >= 2      # A/R/N groups
+    assert len(rows("tpch_shipping_priority")) >= 2    # the revenue tie
+    assert len(rows("tpch_customer_distribution")) >= 2  # incl. 0-count bin
+    assert len(rows("tpch_top_supplier")) == 2         # the Q15 max TIE
+    assert len(rows("tpch_min_cost_supplier")) >= 2    # the Q2 cost tie
+    assert len(rows("tpch_waiting_suppliers")) == 1    # sole-late kept,
+    #                                                  # pair-late killed
+    assert len(rows("tpch_no_recent_orders")) >= 1     # Q22 counted cust
+    assert len(rows("tpch_parts_suppliers")) >= 1
+    assert len(rows("tpch_discounted_revenue")) == 1   # scalar row
