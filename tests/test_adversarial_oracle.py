@@ -710,3 +710,37 @@ def test_hostile_tpch_edges_are_not_vacuous(spark, hostile_tpch_dir):
     assert len(rows("tpch_no_recent_orders")) >= 1     # Q22 counted cust
     assert len(rows("tpch_parts_suppliers")) >= 1
     assert len(rows("tpch_discounted_revenue")) == 1   # scalar row
+
+
+def test_hostile_tpch_covers_q12_extra(spark, hostile_tpch_dir):
+    """tpch_shipping_delays (Q12) is pytest-gated rather than
+    driver-registered (window arithmetic — see queries_tpch.PROMOTED);
+    give it the same hostile-fixture evidence as the registered 21. The
+    fixture's Q4/Q21 lag edges exercise its slow/very-slow ship-lag
+    buckets."""
+    import duckdb as _duckdb
+
+    from log_analysis_system_spark.queries_tpch import (
+        EXTRA_ORACLES,
+        EXTRA_QUERIES,
+    )
+
+    sdf = EXTRA_QUERIES["tpch_shipping_delays"](spark, hostile_tpch_dir)
+    scols = sorted(sdf.columns)
+    s_order = [sdf.columns.index(c) for c in scols]
+    srows = sorted(_key(tuple(r), s_order) for r in sdf.collect())
+
+    con = _duckdb.connect()
+    for t in _TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{hostile_tpch_dir}/{t}.parquet')"
+        )
+    res = con.execute(EXTRA_ORACLES["tpch_shipping_delays"])
+    dcols_raw = [d[0] for d in res.description]
+    dcols = sorted(dcols_raw)
+    d_order = [dcols_raw.index(c) for c in dcols]
+    drows = sorted(_key(tuple(r), d_order) for r in res.fetchall())
+    assert scols == dcols
+    assert srows == drows
+    assert srows, "Q12 must be non-vacuous on the lag-edge fixture"
