@@ -324,9 +324,15 @@ def test_fixture_selects_a_real_slice():
     assert len(names) >= 35, names
 
 
-def _cross_engine_failures(spark, fixture_dir, tables, names):
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+def _cross_engine_failures(
+    spark, fixture_dir, tables, names, queries=None, oracles=None
+):
+    """Run each named query on Spark and its oracle on DuckDB over the
+    fixture dir; return mismatch descriptions. ``queries``/``oracles``
+    default to the registered contract but accept other dicts (the
+    pytest-gated EXTRA entries ride the same comparison machinery)."""
+    queries = entrymod.queries() if queries is None else queries
+    oracles = entrymod.oracle_sql() if oracles is None else oracles
     con = duckdb.connect()
     for t in tables:
         con.execute(
@@ -442,28 +448,16 @@ def test_retention_and_ewma_edges_actually_fire(spark, hostile_events_dir):
 # Hostile TPC-H fixture (round 5): the relational family's analog of the
 # documents/embeddings/events gates above. The driver's testdata generator
 # emits clean, well-distributed TPC-H-ish tables; this fixture keeps the
-# schema contract (keys NOT NULL, FKs valid) but plants the edges the
-# clean tables rarely hit, then runs EVERY registered query whose oracle
-# reads only these seven tables on both engines:
+# schema contract (keys NOT NULL, FKs valid) but plants the edges clean
+# data rarely hits, then runs EVERY registered query whose oracle reads
+# only these seven tables on both engines. Every planted edge below is
+# re-derived against the constants in queries_tpch.py and asserted
+# NON-VACUOUS in test_hostile_tpch_edges_are_not_vacuous — engine
+# agreement on an empty result proves nothing, so an edge that stops
+# firing fails the suite rather than silently hollowing the gate.
 #
-# - orders with zero lineitems; customers with zero orders (Q13 zero-count
-#   group, Q22 no-recent-orders); a customer whose only order carries the
-#   Q13-excluded priority,
-# - predicate-boundary rows: l_shipdate exactly at the Q1 cutoff (<=),
-#   exactly at Q3's strict >, discount exactly at both Q6 range endpoints,
-#   quantity exactly at the Q6 bound, ship lag exactly at Q4's 75 days and
-#   Q21's 60 days (both strict >), per-order quantity exactly at the Q18
-#   threshold (strict >), Q19 quantity/size at branch endpoints,
-# - ties: two suppliers at the identical Q2 min cost for one part, two
-#   orders with identical Q3 revenue straddling rank order, a Q15 revenue
-#   tie at the max, acctbal exactly 0.0 at Q22's > 0 filter,
-# - year-boundary orderdates (1996-12-31 / 1997-01-01) for the Q7/Q8/Q9
-#   year splits, zero-quantity and discount=1.0 (revenue-zero) lines,
-#   a nation with customers but no suppliers and vice versa.
-#
-# Values are chosen exactly representable where sums feed DECIMAL casts,
-# but the gate itself never predicts outputs — it asserts ENGINE
-# AGREEMENT, the same property the driver checks on clean data.
+# The gate itself never predicts outputs — it asserts ENGINE AGREEMENT,
+# the same property the driver checks on clean data.
 
 _TPCH_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
@@ -489,32 +483,37 @@ def _tpch_hostile_rows():
         (5, "cust_zero_bal", 3, 0.0, "AUTOMOBILE"),        # > 0.0 boundary
         (6, "cust_no_supp_nation", 20, 300.0, "HOUSEHOLD"),
         (7, "cust_urgent_only", 1, 400.0, "FURNITURE"),    # Q13 exclusion
-        (8, "cust_returns", 1, 250.0, "HOUSEHOLD"),        # Q10 path
+        (8, "cust_america", 1, 250.0, "HOUSEHOLD"),        # Q7/Q8/Q10 paths
         (9, "cust_asia", 7, 125.0, "BUILDING"),            # Q5 ASIA path
         (10, "cust_rich_no_recent", 8, 9000.0, "MACHINERY"),  # Q22 counted
     ]
     # (suppkey, name, nationkey, acctbal)
     supplier = [
-        (1, "supp_eu_tie_a", 3, 10.0),   # EUROPE (nation 3 -> region 3)
-        (2, "supp_eu_tie_b", 8, 20.0),   # EUROPE; ties Q2 min cost
-        (3, "supp_asia_late_sole", 2, 30.0),   # ASIA; Q21 kept
-        (4, "supp_asia_late_pair", 7, 40.0),   # ASIA; Q21 killed by peer
-        (5, "supp_asia_peer", 12, 50.0),       # ASIA; the killing peer
+        (1, "supp_eu_tie_a", 3, 10.0),   # EUROPE; Q2 cost tie + Q20 dominant
+        (2, "supp_eu_tie_b", 8, 20.0),   # EUROPE; Q2 tie + Q20 minority
+        (3, "supp_asia_late_sole", 2, 30.0),   # ASIA + NATION_2 (Q7, Q21)
+        (4, "supp_asia_late_pair", 7, 40.0),   # ASIA; nation 7 (Q5 match)
+        (5, "supp_asia_peer", 12, 50.0),       # ASIA; Q21 peer
         (6, "supp_america", 1, 60.0),
-        (7, "supp_q8_exporter", 3, 70.0),      # NATION_3 (Q8 share side)
+        (7, "supp_q8_exporter", 3, 70.0),      # NATION_3: Q8 numerator side
         (8, "supp_gear", 4, 80.0),             # Q9 'gear' profit
         (9, "supp_q15_tie_a", 6, 90.0),
         (10, "supp_q15_tie_b", 11, 95.0),
+        (11, "supp_blacklisted", 5, -25.0),    # Q16 NOT-IN blacklist AND
+        #                                      # NATION_5 (Q11's nation)
     ]
     # (partkey, name, brand, type, size, retailprice)
+    # Q19_BRANCHES: (Brand#1, size 1-10, qty 1-15), (Brand#2, size 11-25,
+    # qty 10-25), (Brand#3, size 26-40, qty 20-35)
     part = [
         (1, "large bolt", "Brand#1", "LARGE", 15, 100.0),   # Q2 size<=15 edge
-        (2, "red bolt", "Brand#2", "STANDARD", 9, 50.0),    # Q20 prefix+Q16 size
+        (2, "red bolt", "Brand#2", "STANDARD", 9, 50.0),    # Q20 prefix,
+        #                                     # Q16 size 9, Q11 inventory
         (3, "small gear", "Brand#3", "MEDIUM", 17, 75.0),   # Q9 fragment
         (4, "large gear", "Brand#4", "LARGE", 16, 80.0),    # Q2 size>15 excl
         (5, "promo widget", "Brand#5", "PROMO", 1, 25.0),   # Q16 both excls
-        (6, "q19 small", "Brand#1", "SMALL", 15, 10.0),     # Q19 b1 hi edge
-        (7, "q19 medium", "Brand#2", "MEDIUM", 10, 20.0),   # Q19 b2 lo edge
+        (6, "q19 b1 part", "Brand#1", "SMALL", 10, 10.0),   # Q19 b1 size-hi
+        (7, "q19 b2 part", "Brand#2", "MEDIUM", 11, 20.0),  # Q19 b2 size-lo
         (8, "q17 avg part", "Brand#3", "ECONOMY", 33, 30.0),  # Q17 boundary
         (9, "plain rod", "Brand#6", "STANDARD", 41, 40.0),
         (10, "standard eu", "Brand#7", "STANDARD", 49, 60.0),  # Q8 type
@@ -524,19 +523,31 @@ def _tpch_hostile_rows():
         (1, 1, "O", 1000.0, d("1999-03-14"), "3-MEDIUM"),   # Q3 < edge-1
         (2, 2, "O", 1000.0, d("1999-03-14"), "3-MEDIUM"),   # Q3 revenue tie
         (3, 1, "O", 500.0, d("1999-03-15"), "5-LOW"),       # Q3 == boundary
-        (4, 7, "O", 100.0, d("1996-02-01"), "1-URGENT"),    # Q13 excluded
-        (5, 8, "F", 800.0, d("1996-05-01"), "2-HIGH"),      # Q10 returns win
-        (6, 9, "F", 900.0, d("1996-06-01"), "4-NOT SPECIFIED"),  # Q5 ASIA
-        (7, 1, "F", 0.0, d("1996-01-01"), "5-LOW"),         # NO lineitems
-        (8, 2, "F", 700.0, d("1996-12-31"), "3-MEDIUM"),    # year boundary
-        (9, 2, "F", 700.0, d("1997-01-01"), "3-MEDIUM"),    # year boundary
+        (4, 7, "O", 100.0, d("1996-02-01"), "1-URGENT"),    # Q13-excluded
+        #                             # priority AND zero lineitems
+        (5, 8, "F", 800.0, d("1996-05-01"), "2-HIGH"),      # Q10 returns,
+        #                             # Q7 cross-nation, Q17 lines
+        (6, 9, "F", 900.0, d("1996-06-01"), "4-NOT SPECIFIED"),  # Q5/Q6
+        (7, 1, "F", 0.0, d("1996-01-01"), "5-LOW"),         # ZERO lineitems
+        (8, 2, "F", 700.0, d("1996-12-31"), "3-MEDIUM"),    # Q9 year edge
+        (9, 2, "F", 700.0, d("1997-01-01"), "3-MEDIUM"),    # Q9 year edge,
+        #                             # carries the Q20 1997-window lines
         (10, 8, "F", 600.0, d("1996-02-15"), "2-HIGH"),     # Q4 lag edges
+        #                             # (leap Feb: +75 = Apr 30)
         (11, 9, "F", 650.0, d("1996-03-01"), "1-URGENT"),   # Q21 sole-late
         (12, 9, "F", 660.0, d("1996-03-02"), "2-HIGH"),     # Q21 pair-late
-        (13, 1, "O", 5000.0, d("1996-09-15"), "3-MEDIUM"),  # Q14/Q18 window
+        (13, 1, "O", 5000.0, d("1996-09-15"), "3-MEDIUM"),  # Q18: EXACTLY
+        #                             # 250 total qty (strict > excludes)
         (14, 10, "O", 120.0, d("1996-11-01"), "5-LOW"),     # old order (Q22
-                                                            # still counts 10)
-        (15, 5, "O", 80.0, d("1996-04-01"), "4-NOT SPECIFIED"),  # Q4 == from
+        #                             # still counts cust 10)
+        (15, 5, "O", 80.0, d("1996-04-01"), "4-NOT SPECIFIED"),  # Q4 == TO
+        (16, 1, "O", 900.0, d("1996-09-10"), "3-MEDIUM"),   # Q14/Q19/Q16
+        #                             # September window lines
+        (17, 2, "O", 3000.0, d("1996-08-01"), "2-HIGH"),    # Q18 above-
+        #                             # threshold order (300)
+        (18, 8, "F", 400.0, d("1996-12-31"), "3-MEDIUM"),   # Q8 1996 side
+        (19, 8, "F", 410.0, d("1997-01-01"), "3-MEDIUM"),   # Q8 1997 side
+        (20, 1, "F", 1100.0, d("1996-02-01"), "5-LOW"),     # Q15 tie lines
     ]
     # (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax,
     #  returnflag, linestatus, shipdate)
@@ -549,45 +560,83 @@ def _tpch_hostile_rows():
         # Q1 cutoff: one line exactly AT 2001-09-01 (<= includes), one after
         (1, 9, 6, 2, 1.0, 100.0, 0.25, 0.0, "A", "F", d("2001-09-01")),
         (2, 9, 6, 2, 1.0, 100.0, 0.25, 0.0, "R", "F", d("2001-09-02")),
-        # Q6: discount at both endpoints, qty at the bound (strict < 25)
+        # Q6 [0.02, 0.04] x qty<25 x 1996: lo-disc at qty bound 25
+        # (excluded by strict <), lo-disc at 24 (in), hi-disc 0.04 at
+        # qty 10 (in — probes the INCLUSIVE hi endpoint), 0.05 (out)
         (6, 9, 3, 1, 24.0, 240.0, 0.02, 0.0, "N", "O", d("1996-05-01")),
-        (6, 9, 3, 2, 25.0, 250.0, 0.04, 0.0, "N", "O", d("1996-05-02")),
-        (6, 9, 3, 3, 10.0, 100.0, 0.05, 0.0, "N", "O", d("1996-05-03")),
-        # Q4: ship lag exactly 75 days (strict >) and 76 days on order 10
-        (10, 9, 6, 1, 1.0, 50.0, 0.0, 0.0, "N", "F", d("1996-05-01")),
+        (6, 9, 3, 2, 25.0, 250.0, 0.02, 0.0, "N", "O", d("1996-05-02")),
+        (6, 9, 3, 3, 10.0, 100.0, 0.04, 0.0, "N", "O", d("1996-05-03")),
+        (6, 9, 3, 4, 10.0, 100.0, 0.05, 0.0, "N", "O", d("1996-05-04")),
+        # Q5 match: supplier nation == customer nation (supp 4, nation 7)
+        (6, 9, 4, 5, 2.0, 80.0, 0.0, 0.0, "N", "O", d("1996-06-05")),
+        # Q4: order 10 (1996-02-15, leap Feb): ship +75d = Apr 30 exactly
+        # (strict > excludes) and +76d = May 1 (the slow line)
+        (10, 9, 6, 1, 1.0, 50.0, 0.0, 0.0, "N", "F", d("1996-04-30")),
+        (10, 9, 6, 2, 1.0, 50.0, 0.0, 0.0, "N", "F", d("1996-05-01")),
+        # Q4 window boundary: order 15 sits exactly AT Q4_DATE_TO
+        # (excluded from the window) with a slow line
         (15, 9, 6, 1, 1.0, 50.0, 0.0, 0.0, "N", "F", d("1996-06-16")),
-        # Q21: order 11 -> supp 3 late alone, supp 5 on time (kept);
-        # order 12 -> supp 4 AND supp 5 both late (killed for both)
-        (11, 9, 3, 1, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-05-31")),
-        (11, 9, 5, 2, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-03-10")),
-        (12, 9, 4, 1, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-06-01")),
-        (12, 9, 5, 2, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-06-02")),
-        # Q18: order 13 total qty EXACTLY at the 250 threshold (strict >)
+        # Q21 (late = lag > 60): order 11 (Mar 1): supp 3 at +61 (late),
+        # supp 5 at EXACTLY +60 (Apr 30 — not late; probes the strict >
+        # inside the kept case) -> supp 3 kept, numwait 1.
+        (11, 9, 3, 1, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-05-01")),
+        (11, 9, 5, 2, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-04-30")),
+        # order 12 (Mar 2): supp 4 AND supp 5 both late -> both killed
+        (12, 9, 4, 1, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-05-02")),
+        (12, 9, 5, 2, 1.0, 60.0, 0.0, 0.0, "N", "F", d("1996-05-03")),
+        # Q18: order 13 = EXACTLY 250 total qty (strict > excludes);
+        # order 17 = 300 (included)
         (13, 5, 6, 1, 125.0, 1250.0, 0.0, 0.0, "N", "O", d("1996-09-20")),
         (13, 5, 6, 2, 125.0, 1250.0, 0.0, 0.0, "N", "O", d("1996-09-21")),
-        # Q14 window: PROMO part 5 and non-promo in 1996-09
-        (13, 5, 6, 3, 1.0, 25.0, 0.0, 0.0, "N", "O", d("1996-09-05")),
-        (13, 9, 6, 4, 1.0, 40.0, 0.0, 0.0, "N", "O", d("1996-09-06")),
+        (17, 9, 6, 1, 150.0, 1500.0, 0.0, 0.0, "N", "O", d("1996-08-02")),
+        (17, 9, 6, 2, 150.0, 1500.0, 0.0, 0.0, "N", "O", d("1996-08-03")),
+        # Q14 window (Sep 1996): PROMO part 5 and non-promo part 9
+        (16, 5, 6, 1, 1.0, 25.0, 0.0, 0.0, "N", "O", d("1996-09-05")),
+        (16, 9, 6, 2, 1.0, 40.0, 0.0, 0.0, "N", "O", d("1996-09-06")),
+        # Q19 branch edges (branch 1: Brand#1 size<=10 qty<=15; branch 2:
+        # Brand#2 size>=11 qty>=10): part 6 qty 15 N = b1 MATCH at both hi
+        # bounds; same shape flag R = excluded; qty 16 = qty-excluded;
+        # part 7 qty 10 N = b2 MATCH at both lo bounds; qty 9 = excluded
+        (16, 6, 6, 3, 15.0, 100.0, 0.25, 0.0, "N", "O", d("1996-09-07")),
+        (16, 6, 6, 4, 15.0, 100.0, 0.25, 0.0, "R", "O", d("1996-09-08")),
+        (16, 6, 6, 5, 16.0, 100.0, 0.25, 0.0, "N", "O", d("1996-09-09")),
+        (16, 7, 6, 6, 10.0, 220.0, 0.0, 0.0, "N", "O", d("1996-09-10")),
+        (16, 7, 6, 7, 9.0, 180.0, 0.0, 0.0, "N", "O", d("1996-09-11")),
+        # Q16: blacklisted supp 11 supplies qualifying part 2 (its pair
+        # must be ANTI-JOINED away: (Brand#2, STANDARD, 9) counts 2, not
+        # 3). Also part 2's only NATION_5-supplied inventory for Q11.
+        (16, 2, 11, 8, 1.0, 50.0, 0.0, 0.0, "N", "O", d("1996-09-12")),
         # Q10: returned line for customer 8 inside the window
         (5, 9, 6, 1, 2.0, 300.0, 0.25, 0.0, "R", "F", d("1996-05-10")),
+        # Q7: AMERICA cust 8 x NATION_2 supplier 3 (cross-nation trade)
+        (5, 9, 3, 9, 1.0, 70.0, 0.0, 0.0, "N", "F", d("1996-05-15")),
         # Q2/Q20: EU suppliers 1 and 2 both supply part 1 (LARGE, size 15)
         (8, 1, 1, 1, 3.0, 120.0, 0.0, 0.0, "N", "F", d("1996-12-31")),
         (9, 1, 2, 1, 3.0, 120.0, 0.0, 0.0, "N", "F", d("1997-01-01")),
-        # Q9: gear parts via supp 8, spanning the year boundary
+        # Q20 dominance in the 1997 window over 'red'-prefixed part 2:
+        # supp 1 ships 6 of 9 (share 2/3 > 0.5, dominant), supp 2 ships
+        # 3 of 9 (minority)
+        (9, 2, 1, 3, 6.0, 300.0, 0.0, 0.0, "N", "F", d("1997-03-01")),
+        (9, 2, 2, 4, 3.0, 150.0, 0.0, 0.0, "N", "F", d("1997-03-02")),
+        # Q9: gear parts via supp 8, lines spanning the year boundary
         (8, 3, 8, 2, 2.0, 150.0, 0.0, 0.0, "N", "F", d("1996-12-31")),
         (9, 4, 8, 2, 2.0, 160.0, 0.0, 0.0, "N", "F", d("1997-01-01")),
-        # Q17: Brand#3 part 8 — qty 2 and 6 (avg 4; 0.2*avg = 0.8; the
-        # low line probes the strict < on an exact-boundary-free pair)
-        (5, 8, 6, 2, 2.0, 60.0, 0.0, 0.0, "N", "F", d("1996-05-11")),
-        (6, 8, 6, 4, 6.0, 180.0, 0.0, 0.0, "N", "O", d("1996-05-12")),
-        # Q19 branch edges: qty at hi bound (10) size 15 brand#1 flag N;
-        # and the SAME shape with returnflag R (excluded)
-        (13, 6, 6, 5, 10.0, 100.0, 0.25, 0.0, "N", "O", d("1996-09-07")),
-        (13, 6, 6, 6, 10.0, 100.0, 0.25, 0.0, "R", "O", d("1996-09-08")),
-        (13, 7, 6, 7, 11.0, 220.0, 0.0, 0.0, "N", "O", d("1996-09-09")),
+        # Q8: NATION_3 supp 7 ships STANDARD part 10 to AMERICA cust 8 in
+        # both years; NATION_1 supp 6 adds 1996 denominator volume
+        (18, 10, 7, 1, 2.0, 200.0, 0.0, 0.0, "N", "F", d("1996-12-30")),
+        (18, 9, 6, 2, 2.0, 200.0, 0.0, 0.0, "N", "F", d("1996-12-30")),
+        (19, 10, 7, 1, 2.0, 200.0, 0.0, 0.0, "N", "F", d("1997-01-02")),
+        # Q17 (Brand#3 part 8): qty {0.5, 1, 2, 16.5} -> avg 5.0,
+        # threshold 0.2*5 = 1.0: the 0.5 line is INCLUDED (strict <),
+        # the 1.0 line sits EXACTLY at the threshold (excluded)
+        (5, 8, 6, 3, 0.5, 15.0, 0.0, 0.0, "N", "F", d("1996-05-11")),
+        (5, 8, 6, 4, 1.0, 30.0, 0.0, 0.0, "N", "F", d("1996-05-12")),
+        (6, 8, 6, 6, 2.0, 60.0, 0.0, 0.0, "N", "O", d("1996-05-13")),
+        (6, 8, 6, 7, 16.5, 495.0, 0.0, 0.0, "N", "O", d("1996-05-14")),
         # Q15 tie: supp 9 and 10 identical revenue in the 1996-Q1 window
-        (7, 9, 9, 1, 2.0, 500.0, 0.0, 0.0, "N", "F", d("1996-02-01")),
-        (7, 9, 10, 2, 2.0, 500.0, 0.0, 0.0, "N", "F", d("1996-02-02")),
+        # (order 20 — order 7 stays genuinely lineitem-free)
+        (20, 9, 9, 1, 2.0, 500.0, 0.0, 0.0, "N", "F", d("1996-02-01")),
+        (20, 9, 10, 2, 2.0, 500.0, 0.0, 0.0, "N", "F", d("1996-02-02")),
         # degenerate lines: zero quantity; discount 1.0 (revenue zero)
         (14, 9, 6, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", d("1996-11-02")),
         (14, 9, 6, 2, 5.0, 500.0, 1.0, 0.25, "N", "O", d("1996-11-03")),
@@ -691,10 +740,28 @@ def test_hostile_tpch_cross_engine(spark, hostile_tpch_dir):
     assert not failures, "\n".join(failures)
 
 
+def test_hostile_tpch_covers_q12_extra(spark, hostile_tpch_dir):
+    """tpch_shipping_delays (Q12) is pytest-gated rather than
+    driver-registered (window arithmetic — see queries_tpch.PROMOTED);
+    give it the same hostile-fixture evidence as the registered 21
+    through the same comparison helper. The Q4/Q21 lag edges exercise
+    its slow/very-slow ship-lag buckets."""
+    from log_analysis_system_spark.queries_tpch import (
+        EXTRA_ORACLES,
+        EXTRA_QUERIES,
+    )
+
+    failures = _cross_engine_failures(
+        spark, hostile_tpch_dir, _TPCH_TABLES, ["tpch_shipping_delays"],
+        queries=EXTRA_QUERIES, oracles=EXTRA_ORACLES,
+    )
+    assert not failures, "\n".join(failures)
+
+
 def test_hostile_tpch_edges_are_not_vacuous(spark, hostile_tpch_dir):
-    """The planted edges must produce non-empty results for the queries
-    they target — otherwise the cross-engine agreement above proves
-    nothing about those paths."""
+    """Every planted edge must actually FIRE — an edge that matches zero
+    rows turns the cross-engine agreement above into agreement-on-empty,
+    which proves nothing about the predicate/join path it targets."""
     queries = entrymod.queries()
 
     def rows(name):
@@ -703,44 +770,69 @@ def test_hostile_tpch_edges_are_not_vacuous(spark, hostile_tpch_dir):
     assert len(rows("tpch_pricing_summary")) >= 2      # A/R/N groups
     assert len(rows("tpch_shipping_priority")) >= 2    # the revenue tie
     assert len(rows("tpch_customer_distribution")) >= 2  # incl. 0-count bin
-    assert len(rows("tpch_top_supplier")) == 2         # the Q15 max TIE
-    assert len(rows("tpch_min_cost_supplier")) >= 2    # the Q2 cost tie
-    assert len(rows("tpch_waiting_suppliers")) == 1    # sole-late kept,
-    #                                                  # pair-late killed
-    assert len(rows("tpch_no_recent_orders")) >= 1     # Q22 counted cust
-    assert len(rows("tpch_parts_suppliers")) >= 1
-    assert len(rows("tpch_discounted_revenue")) == 1   # scalar row
 
+    # Q5: exactly the supp-4/cust-9 same-nation line
+    q5 = rows("tpch_local_supplier_volume")
+    assert [r.n_name for r in q5] == ["NATION_7"]
 
-def test_hostile_tpch_covers_q12_extra(spark, hostile_tpch_dir):
-    """tpch_shipping_delays (Q12) is pytest-gated rather than
-    driver-registered (window arithmetic — see queries_tpch.PROMOTED);
-    give it the same hostile-fixture evidence as the registered 21. The
-    fixture's Q4/Q21 lag edges exercise its slow/very-slow ship-lag
-    buckets."""
-    import duckdb as _duckdb
+    # Q6: the 24@0.02 and 10@0.04 lines only (inclusive hi endpoint
+    # probed by the 0.04 row; 25-qty and 0.05-disc rows excluded)
+    q6 = rows("tpch_forecast_revenue")
+    assert q6[0].n_items == 2 and q6[0].revenue > 0
 
-    from log_analysis_system_spark.queries_tpch import (
-        EXTRA_ORACLES,
-        EXTRA_QUERIES,
-    )
+    # Q7: the cross-nation (NATION_1 cust x NATION_2 supp) trade line
+    assert len(rows("tpch_volume_shipping")) >= 1
 
-    sdf = EXTRA_QUERIES["tpch_shipping_delays"](spark, hostile_tpch_dir)
-    scols = sorted(sdf.columns)
-    s_order = [sdf.columns.index(c) for c in scols]
-    srows = sorted(_key(tuple(r), s_order) for r in sdf.collect())
+    # Q8: two year groups with a real NATION_3 numerator; 1996 also has
+    # competing volume so the share is strictly inside (0, 1)
+    q8 = {r.o_year: r.mkt_share for r in rows("tpch_market_share")}
+    assert set(q8) == {1996, 1997}
+    assert 0 < q8[1996] < 1 and q8[1997] > 0
 
-    con = _duckdb.connect()
-    for t in _TPCH_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{hostile_tpch_dir}/{t}.parquet')"
-        )
-    res = con.execute(EXTRA_ORACLES["tpch_shipping_delays"])
-    dcols_raw = [d[0] for d in res.description]
-    dcols = sorted(dcols_raw)
-    d_order = [dcols_raw.index(c) for c in dcols]
-    drows = sorted(_key(tuple(r), d_order) for r in res.fetchall())
-    assert scols == dcols
-    assert srows == drows
-    assert srows, "Q12 must be non-vacuous on the lag-edge fixture"
+    # Q9: gear profit rows on both sides of the year boundary
+    assert len(rows("tpch_product_profit")) >= 2
+
+    # Q11: NATION_5's only inventory is the blacklist supplier's part 2
+    q11 = rows("tpch_important_parts")
+    assert [r.l_partkey for r in q11] == [2]
+
+    # Q16: the blacklisted supplier's pair is anti-joined away — part 2
+    # counts suppliers {1, 2}, NOT {1, 2, 11}
+    q16 = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in rows("tpch_parts_suppliers")
+    }
+    assert q16[("Brand#2", "STANDARD", 9)] == 2
+
+    # Q17: exactly the 0.5-qty line (the 1.0-qty line sits AT the
+    # 0.2*avg threshold and the strict < must exclude it)
+    q17 = rows("tpch_small_qty_revenue")
+    assert q17[0].n_lines == 1
+
+    # Q18: the exactly-250 order is excluded (strict >), the 300 order
+    # is the single surviving row
+    q18 = rows("tpch_large_volume_customers")
+    assert len(q18) == 1 and q18[0].o_orderkey == 17
+
+    # Q15: the max-revenue TIE yields both suppliers
+    assert sorted(r.s_suppkey for r in rows("tpch_top_supplier")) == [9, 10]
+
+    # Q19: both branch-edge matches (hi bounds of b1, lo bounds of b2);
+    # the R-flag, qty-16, and qty-9 variants are excluded
+    q19 = rows("tpch_discounted_revenue")
+    assert q19[0].n_lines == 2 and q19[0].revenue > 0
+
+    # Q20: supplier 1 dominates the red part's 1997 volume (6 of 9);
+    # supplier 2's 3 of 9 is a minority
+    assert [r.s_suppkey for r in rows("tpch_dominant_suppliers")] == [1]
+
+    # Q21: sole-late supplier kept, pair-late pair killed, the
+    # exactly-60-day lag not late
+    q21 = rows("tpch_waiting_suppliers")
+    assert [(r.s_suppkey, r.numwait) for r in q21] == [(3, 1)]
+
+    # Q2: the min-cost TIE for part 1 keeps both EU suppliers
+    assert len(rows("tpch_min_cost_supplier")) >= 2
+
+    # Q22: the rich-no-recent-orders customer is counted
+    assert len(rows("tpch_no_recent_orders")) >= 1
