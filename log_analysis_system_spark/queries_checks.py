@@ -25,8 +25,10 @@ Invariants per operator:
 - ``approx_distinct_check``: per-day HLL estimate within 10% of the exact
   distinct count (rsd=0.02 -> 10% is a >4-sigma bound); day / n_events /
   exact_users are oracle-exact columns.
-- ``percentiles_approx_check``: per-type KLL percentile within 1% of the
-  exact sort-based percentile; event_type / n are oracle-exact columns.
+- ``percentiles_approx_check``: per-type KLL percentile verified in the
+  RANK domain (the sketch's actual guarantee: returned element's rank
+  within n/accuracy of the target rank) — scale-free, unlike a
+  value-relative bound; event_type / n are oracle-exact columns.
 
 Scale note: each check runs the approximate operator at its normal scale
 shape plus an exact baseline — the baselines are the test-scale cost; at
@@ -45,7 +47,7 @@ from .queries_data import N_ANN_QUERIES, _COS, _NORM_POS, _emb
 DEDUP_LSH_RECALL_FLOOR = 0.85
 ANN_RECALL_FLOOR = 0.5
 HLL_REL_ERR_BOUND = 0.10
-PCTL_REL_ERR_BOUND = 0.01
+PCTL_ACCURACY = 10000  # approx_percentile accuracy -> rank error <= n/accuracy
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,27 +180,81 @@ def q_approx_distinct_check(spark, sf_dir):
 
 
 def q_percentiles_approx_check(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    pct = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    """Rank-domain check of ``approx_percentile`` — the guarantee the KLL
+    sketch actually makes. A value-relative bound (the first version of
+    this check) is a corpus-regime claim: the element-returning sketch
+    can differ from the interpolating exact percentile by the full gap
+    between adjacent order statistics, which on a small or coarse group
+    exceeds any fixed relative tolerance even when the sketch is
+    perfect. The sketch's real contract is on RANKS: the returned
+    element's rank is within ``accuracy^-1 * n`` of the target rank. So
+    for each (event_type, percentile p) the check verifies
+
+        count(value < a) <= p * n_vals + slack  AND
+        count(value <= a) >= p * n_vals - slack,
+        slack = max(1, ceil(n_vals / PCTL_ACCURACY))
+
+    — exact, decidable, and scale-free (green at every SF, and on the
+    hostile fixture's all-NULL-value / NULL-type groups, which yield a
+    vacuous TRUE / their own group row respectively). ``n`` stays the
+    oracle-exact ``count(*)``; ranks use the non-NULL value count the
+    percentile functions themselves see.
+    """
+    pcts = [0.5, 0.95, 0.99]
+    ev = _events(spark, sf_dir).select("event_type", "value")
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.percentile("value", pct).alias("ep"),
-        F.approx_percentile("value", pct, 10000).alias("ap"),
+        F.count("value").alias("n_vals"),
+        F.approx_percentile(
+            "value", F.array(*[F.lit(p) for p in pcts]), PCTL_ACCURACY
+        ).alias("ap"),
     )
-
-    def ok(i: int):
-        e, a = F.col("ep")[i], F.col("ap")[i]
-        return F.abs(a - e) <= F.greatest(
-            F.abs(e) * F.lit(PCTL_REL_ERR_BOUND), F.lit(1e-9)
+    probes = agg.select(
+        "event_type", "n", "n_vals",
+        F.posexplode_outer("ap").alias("pi", "a"),
+    )
+    # eqNullSafe: a NULL event_type is a legitimate group on both
+    # engines, and a plain equi-join would silently drop its values here
+    vals = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("v_type"), "value"
+    )
+    ranks = (
+        probes.join(
+            vals, probes["event_type"].eqNullSafe(vals["v_type"]), "left"
         )
-
-    return agg.select(
-        "event_type",
-        "n",
-        ok(0).alias("p50_ok"),
-        ok(1).alias("p95_ok"),
-        ok(2).alias("p99_ok"),
-    ).orderBy("event_type")
+        .groupBy("event_type", "n", "n_vals", "pi", "a")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("a"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("value") < F.col("a"), 1).otherwise(0)
+            ).alias("n_lt"),
+        )
+    )
+    target = (
+        F.array(*[F.lit(p) for p in pcts])[F.col("pi")] * F.col("n_vals")
+    )
+    slack = F.greatest(
+        F.lit(1.0),
+        F.ceil(F.col("n_vals") / F.lit(PCTL_ACCURACY)).cast("double"),
+    )
+    ok = F.when(F.col("a").isNull(), F.lit(True)).otherwise(
+        (F.col("n_lt") <= target + slack) & (F.col("n_le") >= target - slack)
+    )
+    per = ranks.select("event_type", "n", "pi", ok.alias("ok"))
+    return (
+        per.groupBy("event_type", "n")
+        .agg(
+            *[
+                F.coalesce(
+                    F.min(F.when(F.col("pi") == i, F.col("ok"))), F.lit(True)
+                ).alias(name)
+                for i, name in enumerate(("p50_ok", "p95_ok", "p99_ok"))
+            ]
+        )
+        .orderBy("event_type")
+    )
 
 
 QUERIES = {
