@@ -8,13 +8,25 @@ operators and oracles that AGREE on clean data but would diverge on hostile
 rows (null-key equi-joins, division by zero under different engine
 semantics, ``concat_ws`` vs ``||`` null handling).
 
-This test closes that class structurally: it writes a deliberately hostile
-``documents.parquet`` / ``embeddings.parquet`` fixture — empty text,
-whitespace-only text, single-token docs, NULL lang/source, symbol-heavy
-text, unicode, exact-dup groups, a zero-norm embedding, duplicate
-embeddings, a NULL label — then runs EVERY registered query whose oracle
-reads only those two tables on BOTH engines and asserts the same
-row-multiset equality as the driver gate.
+This module closes that class structurally with THREE hostile fixtures,
+each paired with an auto-selected query slice and the same row-multiset
+compare the driver gate runs:
+
+- ``documents.parquet`` / ``embeddings.parquet`` — empty/whitespace/
+  single-token text, NULL lang/source/text, symbol-heavy, unicode,
+  exact-dup groups, zero-norm and duplicate embeddings, NULL labels;
+  covers every registered query whose oracle reads only those tables.
+- ``events.parquet`` — NULL user_id/ts/event_type, malformed props,
+  as-of tie groups, rank-cutoff ties, retention gap-weeks and
+  ISO-year-boundary cohorts, EWMA single-bucket/spike/boundary series;
+  covers the events-only queries (including, since round 5, the
+  rank-domain ``percentiles_approx_check``).
+- the seven TPC-H tables — zero-lineitem orders, orderless customers,
+  leap-aware ship-lag boundaries, exactly-at-threshold quantities,
+  min-cost/revenue/rank ties, year-boundary dates; covers all 21
+  registered TPC-H queries plus the pytest-gated Q12, with a
+  non-vacuity test pinning exact per-edge row sets so a silently-dead
+  edge fails the suite.
 
 A query that only passes the driver gate because the synthetic corpus never
 exercises its edge case fails HERE instead of in next round's ADVICE.
