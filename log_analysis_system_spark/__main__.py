@@ -123,6 +123,29 @@ def load_input(spark, path: str, output_dir: str | None = None):
                   "pass output_dir to write the rejects sink",
                   file=sys.stderr)
         return turns
+    # CSV transcript feed (spreadsheet-born exports): same contract and
+    # sidecar rule as *.json — only when no parquet parts share the dir
+    if os.path.isdir(path) and not globmod.glob(
+        os.path.join(path, "*.parquet")
+    ):
+        csv_parts = globmod.glob(os.path.join(path, "*.csv"))
+        if csv_parts:
+            from .sources.csvfile import read_transcripts_csv
+
+            turns, rejects = read_transcripts_csv(spark, sorted(csv_parts))
+            if output_dir:
+                rej_dir = os.path.join(output_dir, "rejects_csv")
+                rejects.write.mode("overwrite").parquet(rej_dir)
+                n_rej = spark.read.parquet(rej_dir).count()
+                if n_rej:
+                    print(f"csv ingest: {n_rej} rejected rows "
+                          f"(malformed or missing conv_id) -> {rej_dir}",
+                          file=sys.stderr)
+            elif rejects.take(1):
+                print("csv ingest: feed has rejected rows and no output "
+                      "dir to capture them — pass output_dir to write "
+                      "the rejects sink", file=sys.stderr)
+            return turns
     # single raw log file (reference dashboard.py --logfile) — sniff the
     # parquet magic so a .pq/.parq transcripts file isn't ingested as text
     if os.path.isfile(path) and not path.endswith(".parquet"):
