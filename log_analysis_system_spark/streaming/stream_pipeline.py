@@ -67,6 +67,42 @@ def read_transcript_stream(
     )
 
 
+def read_transcript_stream_jsonl(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """JSONL-drop transcript stream — the shape agent frameworks actually
+    emit (append a ``.jsonl``/``.json`` file per flush into a drop dir).
+    Same declared schema and ts coercion as the batch front door
+    (``sources.jsonl``); the streaming contract differs in ONE honest way:
+    ``readStream`` has no per-row corrupt-record split into a second
+    frame, so malformed lines surface as all-NULL rows and are DROPPED
+    here (conv_id null) rather than routed to a rejects sink — feeds
+    needing reject capture should land through the batch door or a
+    foreachBatch wrapper. Every downstream streaming operator consumes
+    this stream unchanged (same TRANSCRIPT_SCHEMA columns)."""
+    from ..sources.jsonl import _TS_FMT, JSONL_SCHEMA
+
+    raw = (
+        spark.readStream.schema(JSONL_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return raw.where(
+        F.col("_corrupt_record").isNull() & F.col("conv_id").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.try_to_timestamp(F.col("ts"), F.lit(_TS_FMT))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+
+
 def streaming_route(
     stream: DataFrame,
     output_dir: str,

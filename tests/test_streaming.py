@@ -401,3 +401,62 @@ def test_trending_tools_batch_writer_retry_is_idempotent(spark, tmp_path):
         (r.window_start, r.tool, r.n_invocations, r.rank, r.batch_id)
         for r in after.where(F.col("batch_id") == 7).collect()
     ) == once
+
+
+def test_streaming_jsonl_source_matches_parquet_stream(spark, stream_dirs):
+    """The JSONL-drop streaming source feeds streaming_route identically
+    to the parquet source over the same turns; malformed lines and
+    conv_id-less turns are dropped at the source (the documented
+    streaming-side contract — no rejects frame in readStream)."""
+    import json as _json
+    import pathlib
+
+    from log_analysis_system_spark.functions.parse import parse_transcripts
+    from log_analysis_system_spark.streaming.stream_pipeline import (
+        read_transcript_stream_jsonl,
+    )
+
+    t = load_transcripts(spark, SF).limit(400)
+    feed = pathlib.Path(stream_dirs["in"])
+    feed.mkdir(parents=True, exist_ok=True)
+    rows = t.collect()
+    half = len(rows) // 2
+
+    def dump(rs, name):
+        with open(feed / name, "w") as f:
+            for r in rs:
+                f.write(_json.dumps({
+                    "conv_id": r.conv_id, "turn_idx": r.turn_idx,
+                    "role": r.role, "text": r.text, "tool": r.tool,
+                    "ts": r.ts.isoformat() if r.ts else None,
+                }) + "\n")
+
+    dump(rows[:half], "drop0.jsonl")
+    with open(feed / "drop1.jsonl", "w") as f:
+        f.write("this is not json\n")
+        f.write('{"turn_idx": 9, "role": "user", "text": "no conv"}\n')
+
+    q = streaming_route(
+        read_transcript_stream_jsonl(spark, str(feed)),
+        stream_dirs["out"],
+        stream_dirs["ckpt"],
+    )
+    assert q.awaitTermination(300)
+    n_first = spark.read.parquet(f"{stream_dirs['out']}/parsed_turns").count()
+
+    # second drop resumes from the checkpoint: only the new file lands
+    dump(rows[half:], "drop2.jsonl")
+    q2 = streaming_route(
+        read_transcript_stream_jsonl(spark, str(feed)),
+        stream_dirs["out"],
+        stream_dirs["ckpt"],
+    )
+    assert q2.awaitTermination(300)
+    n_total = spark.read.parquet(f"{stream_dirs['out']}/parsed_turns").count()
+
+    expected = (
+        parse_transcripts(t, engine="pandas")
+        .where(F.col("log_type") == "access")
+        .count()
+    )
+    assert n_total == expected > n_first
