@@ -78,6 +78,7 @@ def read_transcripts_csv(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("multiLine", multiline)
+        .option("escape", '"')
         .option("nullValue", _NULL_TOKEN)
         .option("emptyValue", "")
         .csv(path)
@@ -119,6 +120,7 @@ def write_transcripts_csv(df: DataFrame, path: str) -> None:
         )
         .write.mode("overwrite")
         .option("header", True)
+        .option("escape", '"')
         .option("nullValue", _NULL_TOKEN)
         .option("emptyValue", '""')
         .csv(path)

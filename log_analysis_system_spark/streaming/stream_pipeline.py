@@ -103,6 +103,44 @@ def read_transcript_stream_jsonl(
     )
 
 
+def read_transcript_stream_csv(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """CSV-drop transcript stream — the spreadsheet-export sibling of
+    :func:`read_transcript_stream_jsonl`, same declared schema / ts
+    coercion / drop-malformed streaming contract as that door (and the
+    batch ``sources.csvfile`` null-vs-empty encoding). multiLine stays
+    FALSE here: a streaming file source should be splittable, so this
+    door requires newline-free ``text`` per record — feeds with embedded
+    newlines belong on the JSONL door, which encodes them natively."""
+    from ..sources.csvfile import _NULL_TOKEN, _TS_FMT, CSV_SCHEMA
+
+    raw = (
+        spark.readStream.schema(CSV_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", False)
+        .option("escape", '"')
+        .option("nullValue", _NULL_TOKEN)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+    return raw.where(
+        F.col("_corrupt_record").isNull() & F.col("conv_id").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.try_to_timestamp(F.col("ts"), F.lit(_TS_FMT))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+
+
 def streaming_route(
     stream: DataFrame,
     output_dir: str,

@@ -460,3 +460,54 @@ def test_streaming_jsonl_source_matches_parquet_stream(spark, stream_dirs):
         .count()
     )
     assert n_total == expected > n_first
+
+
+def test_streaming_csv_source_matches_parquet_stream(spark, stream_dirs):
+    """The CSV-drop streaming source feeds streaming_route identically to
+    the parquet source over the same (newline-free) turns; malformed rows
+    and conv_id-less rows drop at the source."""
+    import pathlib
+
+    from log_analysis_system_spark.functions.parse import parse_transcripts
+    from log_analysis_system_spark.streaming.stream_pipeline import (
+        read_transcript_stream_csv,
+    )
+
+    t = load_transcripts(spark, SF).limit(400)
+    feed = pathlib.Path(stream_dirs["in"])
+    feed.mkdir(parents=True, exist_ok=True)
+    rows = t.collect()
+
+    def esc(v):
+        if v is None:
+            return "\\N"
+        s = str(v)
+        if "," in s or '"' in s:
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    with open(feed / "drop0.csv", "w") as f:
+        f.write("conv_id,turn_idx,role,text,tool,ts\n")
+        for r in rows:
+            f.write(",".join([
+                esc(r.conv_id), esc(r.turn_idx), esc(r.role), esc(r.text),
+                esc(r.tool), esc(r.ts.isoformat() if r.ts else None),
+            ]) + "\n")
+    with open(feed / "drop1.csv", "w") as f:
+        f.write("conv_id,turn_idx,role,text,tool,ts\n")
+        f.write("\\N,7,user,orphan row,\\N,2024-01-01T00:00:00\n")
+        f.write("c-bad,not_an_int,user,broken idx,\\N,2024-01-01T00:00:01\n")
+
+    q = streaming_route(
+        read_transcript_stream_csv(spark, str(feed)),
+        stream_dirs["out"],
+        stream_dirs["ckpt"],
+    )
+    assert q.awaitTermination(300)
+    n_total = spark.read.parquet(f"{stream_dirs['out']}/parsed_turns").count()
+    expected = (
+        parse_transcripts(t, engine="pandas")
+        .where(F.col("log_type") == "access")
+        .count()
+    )
+    assert n_total == expected > 0
