@@ -65,6 +65,33 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _ingest_feed(spark, reader, parts, output_dir, kind: str):
+    """Shared (turns, rejects) ingest policy for the JSONL/CSV front
+    doors: route rejects to <output>/rejects_<kind>, or — with no output
+    dir — surface that rows were dropped without a second full scan."""
+    turns, rejects = reader(spark, parts)
+    if output_dir:
+        # one write job, no eager pre-count (a rejects.count() here would
+        # be a second full scan of the feed); the row count afterwards
+        # reads only parquet footers
+        rej_dir = os.path.join(output_dir, f"rejects_{kind}")
+        rejects.write.mode("overwrite").parquet(rej_dir)
+        n_rej = spark.read.parquet(rej_dir).count()
+        if n_rej:
+            print(f"{kind} ingest: {n_rej} rejected rows "
+                  f"(malformed or missing conv_id) -> {rej_dir}",
+                  file=sys.stderr)
+    elif rejects.take(1):
+        # no sink to capture them: still surface the drop (take(1)
+        # short-circuits; the clean-feed case costs one scan either way,
+        # which the old count-and-warn also paid)
+        print(f"{kind} ingest: feed has rejected rows (malformed or "
+              "missing conv_id) and no output dir to capture them — "
+              "pass output_dir to write the rejects sink",
+              file=sys.stderr)
+    return turns
+
+
 def load_input(spark, path: str, output_dir: str | None = None):
     import glob as globmod
 
@@ -100,29 +127,10 @@ def load_input(spark, path: str, output_dir: str | None = None):
     if jsonl_parts:
         from .sources.jsonl import read_transcripts_jsonl
 
-        turns, rejects = read_transcripts_jsonl(
-            spark, sorted(jsonl_parts)
+        return _ingest_feed(
+            spark, read_transcripts_jsonl, sorted(jsonl_parts),
+            output_dir, "jsonl",
         )
-        if output_dir:
-            # one write job, no eager pre-count (a rejects.count() here
-            # would be a second full scan of the feed); the row count
-            # afterwards reads only parquet footers
-            rej_dir = os.path.join(output_dir, "rejects_jsonl")
-            rejects.write.mode("overwrite").parquet(rej_dir)
-            n_rej = spark.read.parquet(rej_dir).count()
-            if n_rej:
-                print(f"jsonl ingest: {n_rej} rejected lines "
-                      f"(malformed or missing conv_id) -> {rej_dir}",
-                      file=sys.stderr)
-        elif rejects.take(1):
-            # no sink to capture them: still surface that rows were
-            # dropped (take(1) short-circuits; the clean-feed case costs
-            # one scan either way, which the old count-and-warn also paid)
-            print("jsonl ingest: feed has rejected lines (malformed or "
-                  "missing conv_id) and no output dir to capture them — "
-                  "pass output_dir to write the rejects sink",
-                  file=sys.stderr)
-        return turns
     # CSV transcript feed (spreadsheet-born exports): same contract and
     # sidecar rule as *.json — only when no parquet parts share the dir
     if os.path.isdir(path) and not globmod.glob(
@@ -132,20 +140,10 @@ def load_input(spark, path: str, output_dir: str | None = None):
         if csv_parts:
             from .sources.csvfile import read_transcripts_csv
 
-            turns, rejects = read_transcripts_csv(spark, sorted(csv_parts))
-            if output_dir:
-                rej_dir = os.path.join(output_dir, "rejects_csv")
-                rejects.write.mode("overwrite").parquet(rej_dir)
-                n_rej = spark.read.parquet(rej_dir).count()
-                if n_rej:
-                    print(f"csv ingest: {n_rej} rejected rows "
-                          f"(malformed or missing conv_id) -> {rej_dir}",
-                          file=sys.stderr)
-            elif rejects.take(1):
-                print("csv ingest: feed has rejected rows and no output "
-                      "dir to capture them — pass output_dir to write "
-                      "the rejects sink", file=sys.stderr)
-            return turns
+            return _ingest_feed(
+                spark, read_transcripts_csv, sorted(csv_parts),
+                output_dir, "csv",
+            )
     # single raw log file (reference dashboard.py --logfile) — sniff the
     # parquet magic so a .pq/.parq transcripts file isn't ingested as text
     if os.path.isfile(path) and not path.endswith(".parquet"):

@@ -22,8 +22,17 @@ Null/empty/quoting contract (probed, round-trip-tested): the sink writes
 ``nullValue='\\N'`` and ``emptyValue='""'`` so SQL NULL and empty string
 survive a round trip distinctly — on the read side ``\\N`` and UNQUOTED
 empty fields are NULL while a quoted ``""`` is the empty string; text
-containing quotes, commas, and embedded newlines rides Spark's standard
-CSV quoting.
+containing quotes, commas, and embedded newlines rides RFC-4180 quoting
+(``escape='"'`` on both sides, i.e. doubled quotes — the convention
+Excel and virtually every exporter uses; Spark's default
+backslash-escape would mis-parse them).
+
+KNOWN IN-BAND COLLISION (inherent to every CSV null-token scheme, MySQL
+dumps included, and pinned by a test): a field whose ENTIRE value is the
+two literal characters ``\\N`` round-trips to NULL — the parser applies
+``nullValue`` after unquoting, so not even forced quoting distinguishes
+it (probed). Data that may legitimately contain bare ``\\N`` fields
+belongs on the JSONL door, which has real nulls.
 
 SCALE CAVEAT — the honest difference from JSONL: embedded newlines force
 ``multiLine=true`` on the reader, and multiLine CSV files are NOT
@@ -95,12 +104,16 @@ def read_transcripts_csv(
         .cast("timestamp_ntz")
         .alias("ts"),
     )
+    # structured reconstruction for the non-corrupt reject (JSON, like
+    # the JSONL door): concat_ws would silently DROP null fields,
+    # shifting every later column one slot left and applying no quoting,
+    # leaving the audit row unparseable and un-reingestable
     rejects = raw.where(malformed | no_conv).select(
         F.coalesce(
             F.col("_corrupt_record"),
-            F.concat_ws(
-                ",", "conv_id", "turn_idx", "role", "text", "tool", "ts"
-            ),
+            F.to_json(F.struct(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            )),
         ).alias("raw"),
         F.when(malformed, F.lit("malformed_csv"))
         .otherwise(F.lit("missing_conv_id"))

@@ -67,6 +67,25 @@ def read_transcript_stream(
     )
 
 
+def _clean_transcript_stream(raw: DataFrame, ts_fmt: str) -> DataFrame:
+    """Shared drop-malformed tail of the JSONL/CSV streaming doors: keep
+    non-corrupt rows with a conv_id, coerce ts, project the
+    TRANSCRIPT_SCHEMA columns (the one place the streaming-side contract
+    lives — change it here and both doors follow)."""
+    return raw.where(
+        F.col("_corrupt_record").isNull() & F.col("conv_id").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.try_to_timestamp(F.col("ts"), F.lit(ts_fmt))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+
+
 def read_transcript_stream_jsonl(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
@@ -89,18 +108,7 @@ def read_transcript_stream_jsonl(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    return raw.where(
-        F.col("_corrupt_record").isNull() & F.col("conv_id").isNotNull()
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        "tool",
-        F.try_to_timestamp(F.col("ts"), F.lit(_TS_FMT))
-        .cast("timestamp")
-        .alias("ts"),
-    )
+    return _clean_transcript_stream(raw, _TS_FMT)
 
 
 def read_transcript_stream_csv(
@@ -127,18 +135,7 @@ def read_transcript_stream_csv(
         .option("emptyValue", "")
         .csv(path)
     )
-    return raw.where(
-        F.col("_corrupt_record").isNull() & F.col("conv_id").isNotNull()
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        "tool",
-        F.try_to_timestamp(F.col("ts"), F.lit(_TS_FMT))
-        .cast("timestamp")
-        .alias("ts"),
-    )
+    return _clean_transcript_stream(raw, _TS_FMT)
 
 
 def streaming_route(

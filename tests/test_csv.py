@@ -148,3 +148,44 @@ def test_cli_csv_sidecar_does_not_hijack_parquet_dir(spark, tmp_path):
     (d / "summary.csv").write_text("rows,bytes\n30,12345\n")
     df = load_input(spark, str(d))
     assert df.count() == 30 and "conv_id" in df.columns
+
+
+def test_csv_null_token_collision_is_pinned(spark, tmp_path):
+    """The documented in-band collision: a field whose ENTIRE value is
+    the literal two characters backslash-N round-trips to NULL (the
+    parser applies nullValue after unquoting — inherent to every CSV
+    null-token scheme; such data belongs on the JSONL door). Pinned so a
+    future option change that silently alters the behavior fails here."""
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "\\N", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    p = str(tmp_path / "collide_csv")
+    write_transcripts_csv(t, p)
+    turns, rejects = read_transcripts_csv(spark, p)
+    assert rejects.count() == 0
+    [r] = turns.collect()
+    assert r.text is None  # the documented collision, not silent surprise
+
+
+def test_csv_rejects_raw_is_structured_json(spark, tmp_path):
+    """The non-corrupt reject's audit column must preserve ALL fields —
+    including NULLs and embedded commas — as parseable JSON (concat_ws
+    would drop null slots and shift every later column)."""
+    import json as _json
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "drop.csv").write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        '\\N,2,tool,"orphan, with comma",bash,2024-01-01T00:00:02\n'
+    )
+    _, rejects = read_transcripts_csv(spark, str(p))
+    [r] = rejects.collect()
+    assert r.reason == "missing_conv_id"
+    d = _json.loads(r.raw)
+    assert "conv_id" not in d  # to_json omits null fields — but the
+    #                          # named slots below are positionally safe
+    assert d["turn_idx"] == 2 and d["text"] == "orphan, with comma"
+    assert d["tool"] == "bash"
